@@ -1,0 +1,242 @@
+"""SpaceTimeTransformer (TimeSformer, 'frozen-in-time' style) in JAX.
+
+The frozen LaviLa visual tower: a ViT with divided space-time attention
+over ``1 + T*N`` tokens (CLS + T frames x N patches). Semantics match the
+reference exactly (model/LaviLa.py:194-581):
+
+- ``VarAttention`` (L:226-283): one projection set serves both the spatial
+  and temporal attention. The CLS query attends to *all* tokens; patch
+  queries attend within their frame (space) or within their patch tube
+  (time), with the CLS key/value broadcast-prepended to every group.
+- ``SpaceTimeBlock`` (L:345-390): time-attn on norm3(x) -> time_residual =
+  x + out; space-attn on norm1(time_residual); 'frozen-in-time' residual
+  space_residual = **x** + space_out (not time_residual); MLP on norm2.
+- Patch embedding is a stride-P conv without bias (ln_pre=True,
+  L:200-223); positional embedding = CLS embed + per-frame tile of the
+  spatial table + repeat-interleaved temporal table (L:546-557); ln_pre
+  before the blocks; final LayerNorm(eps=1e-6).
+
+TPU-first design choices:
+- channel-last input (B, T, H, W, C); the patchifier is a reshape + one
+  (P*P*C, D) matmul — a pure MXU op, no conv lowering.
+- the 24 blocks run under ``lax.scan`` over stacked params, wrapped in
+  ``jax.checkpoint`` (rematerialisation) to mirror the reference's
+  ``use_checkpoint=True`` and keep HBM flat at 16-frame eval.
+- divided attention is batched einsum attention reshaped to
+  (B, T, N) / (B, N, T) groups; the Pallas flash-attention path plugs in
+  behind the same function signature (ops/flash_attention.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .layers import layer_norm, layer_norm_init, linear, linear_init, quick_gelu
+
+__all__ = ["SpaceTimeConfig", "init_spacetime_params", "spacetime_forward"]
+
+
+@dataclass(frozen=True)
+class SpaceTimeConfig:
+    img_size: int = 224
+    patch_size: int = 14
+    in_chans: int = 3
+    width: int = 1024
+    depth: int = 24
+    heads: int = 16
+    mlp_ratio: int = 4
+    num_frames: int = 4
+    ln_eps: float = 1e-6  # timm default eps for TimeSformer norms
+    use_quick_gelu: bool = True  # CLIP-initialised towers use QuickGELU
+
+    @property
+    def patches_per_frame(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+
+def _init_attn(key, dim: int, zero_init: bool):
+    """VarAttention params: packed qkv + out proj (model/LaviLa.py:226-244).
+
+    ``zero_init`` reproduces time_init='zeros': qkv zeroed, proj weight
+    filled with 1 (L:236-242).
+    """
+    k1, k2 = jax.random.split(key)
+    p = {
+        "qkv": linear_init(k1, dim, 3 * dim),
+        "proj": linear_init(k2, dim, dim),
+    }
+    if zero_init:
+        p["qkv"]["w"] = jnp.zeros_like(p["qkv"]["w"])
+        p["qkv"]["b"] = jnp.zeros_like(p["qkv"]["b"])
+        p["proj"]["w"] = jnp.ones_like(p["proj"]["w"])
+        p["proj"]["b"] = jnp.zeros_like(p["proj"]["b"])
+    return p
+
+
+def _init_block(key, cfg: SpaceTimeConfig):
+    ks = jax.random.split(key, 4)
+    dim, hidden = cfg.width, cfg.width * cfg.mlp_ratio
+    return {
+        "norm1": layer_norm_init(dim),
+        "attn": _init_attn(ks[0], dim, zero_init=False),
+        "norm3": layer_norm_init(dim),
+        "timeattn": _init_attn(ks[1], dim, zero_init=True),
+        "norm2": layer_norm_init(dim),
+        "mlp_fc1": linear_init(ks[2], dim, hidden),
+        "mlp_fc2": linear_init(ks[3], hidden, dim),
+    }
+
+
+def init_spacetime_params(key, cfg: SpaceTimeConfig):
+    keys = jax.random.split(key, cfg.depth + 3)
+    blocks = [_init_block(keys[i], cfg) for i in range(cfg.depth)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    patch_dim = cfg.patch_size * cfg.patch_size * cfg.in_chans
+    return {
+        # conv patchifier stored as a flat (P*P*C, D) matmul weight, no bias
+        "patch_embed": {"w": jax.random.normal(keys[-3], (patch_dim, cfg.width)) * 0.02},
+        "cls_token": jnp.zeros((1, 1, cfg.width)),
+        "pos_embed": jax.random.normal(keys[-2], (1, cfg.patches_per_frame + 1, cfg.width)) * 0.02,
+        "temporal_embed": jnp.zeros((1, cfg.num_frames, cfg.width)),
+        "ln_pre": layer_norm_init(cfg.width),
+        "blocks": stacked,
+        "norm": layer_norm_init(cfg.width),
+    }
+
+
+def _attend(q, k, v):
+    """softmax(q k^T) v with f32 softmax. q is pre-scaled (L:252)."""
+    logits = jnp.einsum("...qd,...kd->...qk", q, k)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("...qk,...kd->...qd", probs, v)
+
+
+def _var_attention(p, x, t: int, n: int, heads: int, mode: str):
+    """Divided attention over (B, 1 + T*N, D) tokens.
+
+    mode='space': patch tokens attend within their frame (groups of N),
+    mode='time' : patch tokens attend within their patch tube (groups of T);
+    the CLS key/value is prepended to every group, and the CLS query
+    attends over all 1+T*N tokens (model/LaviLa.py:246-276).
+    """
+    b, seq, d = x.shape
+    dh = d // heads
+    qkv = linear(p["qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads_split(z):  # (B, S, D) -> (B, H, S, dh)
+        return z.reshape(b, seq, heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = heads_split(q), heads_split(k), heads_split(v)
+    q = q * (dh**-0.5)
+
+    cls_q, q_ = q[:, :, :1], q[:, :, 1:]
+    cls_k, k_ = k[:, :, :1], k[:, :, 1:]
+    cls_v, v_ = v[:, :, :1], v[:, :, 1:]
+
+    # CLS attends over everything
+    cls_out = _attend(cls_q, k, v)  # (B, H, 1, dh)
+
+    if mode == "space":
+        grp, within = t, n  # groups of one frame
+        reshape = lambda z: z.reshape(b, heads, t, n, dh)
+        unshape = lambda z: z.reshape(b, heads, t * n, dh)
+    else:  # time
+        grp, within = n, t  # groups of one patch tube
+
+        def reshape(z):
+            return z.reshape(b, heads, t, n, dh).transpose(0, 1, 3, 2, 4)
+
+        def unshape(z):
+            return z.transpose(0, 1, 3, 2, 4).reshape(b, heads, t * n, dh)
+
+    qg = reshape(q_)  # (B, H, G, W, dh)
+    kg = reshape(k_)
+    vg = reshape(v_)
+    cls_k_b = jnp.broadcast_to(cls_k[:, :, None], (b, heads, grp, 1, dh))
+    cls_v_b = jnp.broadcast_to(cls_v[:, :, None], (b, heads, grp, 1, dh))
+    kg = jnp.concatenate([cls_k_b, kg], axis=3)  # (B, H, G, 1+W, dh)
+    vg = jnp.concatenate([cls_v_b, vg], axis=3)
+
+    out = _attend(qg, kg, vg)  # (B, H, G, W, dh)
+    out = unshape(out)
+    out = jnp.concatenate([cls_out, out], axis=2)  # (B, H, S, dh)
+    out = out.transpose(0, 2, 1, 3).reshape(b, seq, d)
+    return linear(p["proj"], out)
+
+
+def _block(p, x, cfg: SpaceTimeConfig, t: int, n: int):
+    eps = cfg.ln_eps
+    act = quick_gelu if cfg.use_quick_gelu else jax.nn.gelu
+    time_out = _var_attention(p["timeattn"], layer_norm(p["norm3"], x, eps), t, n, cfg.heads, "time")
+    time_residual = x + time_out
+    space_out = _var_attention(p["attn"], layer_norm(p["norm1"], time_residual, eps), t, n, cfg.heads, "space")
+    # 'frozen-in-time' residual: from x, not time_residual (L:383-384)
+    space_residual = x + space_out
+    h = layer_norm(p["norm2"], space_residual, eps)
+    h = linear(p["mlp_fc2"], act(linear(p["mlp_fc1"], h)))
+    return space_residual + h
+
+
+def patchify(params, cfg: SpaceTimeConfig, video):
+    """(B, T, H, W, C) uint8/float -> (B, T*N, D) patch tokens."""
+    b, t, h, w, c = video.shape
+    p = cfg.patch_size
+    gh, gw = h // p, w // p
+    x = video.reshape(b, t, gh, p, gw, p, c)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # (B, T, gh, gw, p, p, C)
+    x = x.reshape(b, t * gh * gw, p * p * c)
+    return x @ params["patch_embed"]["w"]
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_remat", "dtype"))
+def spacetime_forward(
+    params,
+    cfg: SpaceTimeConfig,
+    video,
+    *,
+    use_remat: bool = True,
+    dtype=jnp.bfloat16,
+):
+    """Forward pass.
+
+    Args:
+        video: (B, T, H, W, C) float, already normalised. T may be any
+            value <= the temporal-embedding length (variable frame counts,
+            L:539-557); eval inflates the embedding first.
+    Returns:
+        (cls (B, D), tokens (B, 1+T*N, D)) — both post final-LayerNorm,
+        matching ``forward_features`` (L:569-573). f32 outputs.
+    """
+    b, t = video.shape[:2]
+    n = cfg.patches_per_frame
+
+    params = jax.tree.map(lambda a: a.astype(dtype), params)
+    x = patchify(params, cfg, video.astype(dtype))  # (B, T*N, D)
+
+    cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.width)).astype(dtype)
+    x = jnp.concatenate([cls, x], axis=1)
+
+    pos_spatial = jnp.tile(params["pos_embed"][:, 1:, :], (1, t, 1))  # (1, T*N, D)
+    pos_temporal = jnp.repeat(params["temporal_embed"][:, :t, :], n, axis=1)
+    pos = jnp.concatenate(
+        [params["pos_embed"][:, :1, :], pos_spatial + pos_temporal], axis=1
+    )
+    x = x + pos.astype(dtype)
+    x = layer_norm(params["ln_pre"], x, cfg.ln_eps)
+
+    block = _block
+    if use_remat:
+        block = jax.checkpoint(_block, static_argnums=(2, 3, 4))
+
+    def body(x, blk):
+        return block(blk, x, cfg, t, n), None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+
+    x = layer_norm(params["norm"], x.astype(jnp.float32), cfg.ln_eps)
+    return x[:, 0], x
