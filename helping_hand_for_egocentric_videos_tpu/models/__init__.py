@@ -1,0 +1,41 @@
+from .clip_text import TextConfig, encode_text, init_text_params
+from .spacetime_vit import SpaceTimeConfig, init_spacetime_params, spacetime_forward
+from .obj_decoder import (
+    DecoderConfig,
+    DecoderOutput,
+    decoder_forward,
+    init_decoder_params,
+    obj_proj,
+    txt_proj,
+    vid_proj,
+)
+from .lavila import (
+    LavilaConfig,
+    encode_image,
+    init_lavila_params,
+    lavila_forward,
+    timesformer_base_config,
+    timesformer_large_config,
+)
+
+__all__ = [
+    "TextConfig",
+    "encode_text",
+    "init_text_params",
+    "SpaceTimeConfig",
+    "init_spacetime_params",
+    "spacetime_forward",
+    "DecoderConfig",
+    "DecoderOutput",
+    "decoder_forward",
+    "init_decoder_params",
+    "obj_proj",
+    "txt_proj",
+    "vid_proj",
+    "LavilaConfig",
+    "encode_image",
+    "init_lavila_params",
+    "lavila_forward",
+    "timesformer_base_config",
+    "timesformer_large_config",
+]

@@ -1,23 +1,42 @@
-"""Test configuration: force an 8-device virtual CPU platform.
+"""Test configuration.
 
-Multi-chip sharding tests run on a virtual CPU mesh
-(``xla_force_host_platform_device_count=8``), mirroring how the driver
-validates the multi-chip path without real chips.
+Platform notes:
+- On a plain machine (driver CI) the env vars below force an 8-device
+  virtual CPU platform, so sharding tests get a real mesh.
+- On the axon dev box, sitecustomize imports jax and pins the tunneled TPU
+  *before* pytest starts, so the env vars are inert: tests then run on the
+  single real TPU chip. Numeric tests therefore force f32 matmul
+  accumulation (TPU defaults to bf16 inputs), and multi-device tests skip
+  when fewer than 8 devices are visible (the driver validates the
+  multi-chip path via ``__graft_entry__.dryrun_multichip`` on a virtual CPU
+  mesh instead). To run the mesh tests locally:
+  ``PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m pytest tests/``.
 """
 
 import os
 
-# Force CPU regardless of the ambient platform (the dev box exports
-# JAX_PLATFORMS=axon for the tunneled TPU); HH_TEST_PLATFORM overrides.
-os.environ["JAX_PLATFORMS"] = os.environ.get("HH_TEST_PLATFORM", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if "jax" not in globals():
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np
 import pytest
+
+
+def require_devices(n):
+    return pytest.mark.skipif(
+        len(jax.devices()) < n,
+        reason=f"needs {n} devices (run with JAX_PLATFORMS=cpu "
+        f"XLA_FLAGS=--xla_force_host_platform_device_count={n})",
+    )
 
 
 @pytest.fixture

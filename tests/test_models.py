@@ -1,0 +1,231 @@
+"""Model semantics tests on tiny configs.
+
+Oracles are independent: torch.nn.functional ops (conv2d, MHA) configured
+from first principles — no reference code. Key invariants verified:
+  - patchify == stride-P conv2d
+  - our MHA == torch.nn.MultiheadAttention
+  - zero-initialised time attention => backbone CLS is frame-permutation
+    invariant (the TimeSformer 'starts as ViT' property, LaviLa time_init
+    ='zeros')
+  - causal text tower: future tokens don't affect past positions; EOT
+    lookup picks the max token id position
+  - decoder output shapes for trajectory/aux modes
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from helping_hand_for_egocentric_videos_tpu.models import (
+    DecoderConfig,
+    SpaceTimeConfig,
+    TextConfig,
+    decoder_forward,
+    encode_text,
+    init_decoder_params,
+    init_spacetime_params,
+    init_text_params,
+    spacetime_forward,
+)
+from helping_hand_for_egocentric_videos_tpu.models.layers import (
+    multi_head_attention,
+    quick_gelu,
+)
+from helping_hand_for_egocentric_videos_tpu.models.spacetime_vit import patchify
+
+KEY = jax.random.PRNGKey(0)
+
+TINY_VIT = SpaceTimeConfig(
+    img_size=32, patch_size=16, width=64, depth=2, heads=4, num_frames=2
+)
+TINY_TXT = TextConfig(
+    vocab_size=100, context_length=16, width=32, heads=4, layers=2, embed_dim=8
+)
+
+
+def test_quick_gelu():
+    x = np.linspace(-3, 3, 7, dtype=np.float32)
+    got = np.asarray(quick_gelu(jnp.asarray(x)))
+    want = x * (1 / (1 + np.exp(-1.702 * x)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_patchify_matches_conv2d(rng):
+    cfg = TINY_VIT
+    params = init_spacetime_params(KEY, cfg)
+    video = rng.normal(size=(2, 2, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(patchify(params, cfg, jnp.asarray(video)))
+
+    # torch oracle: conv2d stride=P, weight (D, C, P, P) from our (P*P*C, D)
+    w = np.asarray(params["patch_embed"]["w"])  # (P*P*C, D)
+    w_t = w.reshape(16, 16, 3, 64).transpose(3, 2, 0, 1)  # (D, C, kh, kw)
+    x_t = torch.tensor(video.reshape(4, 32, 32, 3).transpose(0, 3, 1, 2))
+    out = torch.nn.functional.conv2d(x_t, torch.tensor(w_t), stride=16)
+    out = out.flatten(2).transpose(2, 1).reshape(2, 2 * 4, 64).numpy()
+    np.testing.assert_allclose(got, out, atol=1e-4)
+
+
+def test_mha_matches_torch(rng):
+    d, h, b, nq, nk = 32, 4, 2, 5, 7
+    from helping_hand_for_egocentric_videos_tpu.models.layers import mha_init
+
+    p = mha_init(jax.random.PRNGKey(1), d)
+    q = rng.normal(size=(b, nq, d)).astype(np.float32)
+    k = rng.normal(size=(b, nk, d)).astype(np.float32)
+    v = rng.normal(size=(b, nk, d)).astype(np.float32)
+    got = np.asarray(multi_head_attention(p, jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), h))
+
+    mha = torch.nn.MultiheadAttention(d, h, batch_first=True)
+    with torch.no_grad():
+        in_proj_w = np.concatenate(
+            [np.asarray(p[w]["w"]).T for w in ("wq", "wk", "wv")], axis=0
+        )
+        in_proj_b = np.concatenate([np.asarray(p[w]["b"]) for w in ("wq", "wk", "wv")])
+        mha.in_proj_weight.copy_(torch.tensor(in_proj_w))
+        mha.in_proj_bias.copy_(torch.tensor(in_proj_b))
+        mha.out_proj.weight.copy_(torch.tensor(np.asarray(p["wo"]["w"]).T))
+        mha.out_proj.bias.copy_(torch.tensor(np.asarray(p["wo"]["b"])))
+        want = mha(torch.tensor(q), torch.tensor(k), torch.tensor(v))[0].numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_backbone_shapes_and_frame_invariance_at_init(rng):
+    cfg = TINY_VIT
+    params = init_spacetime_params(KEY, cfg)
+    video = rng.normal(size=(2, 2, 32, 32, 3)).astype(np.float32)
+    cls, tokens = spacetime_forward(
+        params, cfg, jnp.asarray(video), use_remat=False, dtype=jnp.float32
+    )
+    n = cfg.patches_per_frame
+    assert cls.shape == (2, 64)
+    assert tokens.shape == (2, 1 + 2 * n, 64)
+
+    # zero-init time attention + zero temporal embed: swapping frames must
+    # permute patch tokens and leave CLS unchanged (ViT-equivalence at init)
+    video_swapped = video[:, ::-1].copy()
+    cls2, tokens2 = spacetime_forward(
+        params, cfg, jnp.asarray(video_swapped), use_remat=False, dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(cls), np.asarray(cls2), atol=1e-4)
+    t1 = np.asarray(tokens)[:, 1:].reshape(2, 2, n, 64)
+    t2 = np.asarray(tokens2)[:, 1:].reshape(2, 2, n, 64)
+    np.testing.assert_allclose(t1, t2[:, ::-1], atol=1e-4)
+
+
+def test_backbone_remat_matches_no_remat(rng):
+    cfg = TINY_VIT
+    params = init_spacetime_params(jax.random.PRNGKey(3), cfg)
+    video = jnp.asarray(rng.normal(size=(1, 2, 32, 32, 3)).astype(np.float32))
+    a = spacetime_forward(params, cfg, video, use_remat=False, dtype=jnp.float32)[1]
+    b = spacetime_forward(params, cfg, video, use_remat=True, dtype=jnp.float32)[1]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_text_tower_causal_and_eot(rng):
+    cfg = TINY_TXT
+    params = init_text_params(jax.random.PRNGKey(2), cfg)
+    tokens = np.zeros((2, 16), dtype=np.int32)
+    tokens[0, :5] = [98, 5, 7, 3, 99]  # SOT ... EOT at position 4
+    tokens[1, :3] = [98, 4, 99]
+    x_cls, fmap = encode_text(params, cfg, jnp.asarray(tokens))
+    assert x_cls.shape == (2, 8) and fmap.shape == (2, 16, 32)
+
+    # causality: changing a future token must not change earlier positions
+    tokens2 = tokens.copy()
+    tokens2[0, 10] = 55
+    _, fmap2 = encode_text(params, cfg, jnp.asarray(tokens2))
+    np.testing.assert_allclose(
+        np.asarray(fmap[0, :10]), np.asarray(fmap2[0, :10]), atol=1e-5
+    )
+    assert not np.allclose(np.asarray(fmap[0, 10]), np.asarray(fmap2[0, 10]))
+
+    # EOT lookup = argmax(token ids): row1 EOT at position 2
+    eot_manual = np.asarray(fmap)[1, 2] @ np.asarray(params["text_projection"])
+    np.testing.assert_allclose(np.asarray(x_cls)[1], eot_manual, atol=1e-5)
+
+
+def test_decoder_shapes_traj_mode(rng):
+    cfg = DecoderConfig(
+        d_model=32,
+        nhead=4,
+        num_layers=3,
+        dim_feedforward=64,
+        num_queries=5,
+        num_classes=10,
+        feature_dim=48,
+        text_width=24,
+        embed_dim=8,
+        num_frames=2,
+        patches_per_frame=4,
+    )
+    params = init_decoder_params(jax.random.PRNGKey(4), cfg)
+    feats = jnp.asarray(rng.normal(size=(2, 2, 4, 48)).astype(np.float32))
+    out = decoder_forward(params, cfg, feats)
+    # traj mode: boxes per frame -> B*T rows
+    assert out.pred_boxes.shape == (4, 5, 4)
+    assert out.pred_logits.shape == (4, 5, 11)
+    assert out.aux_pred_boxes.shape == (2, 4, 5, 4)
+    assert out.hs.shape == (3, 2, 5, 32)
+    b = np.asarray(out.pred_boxes)
+    assert (b >= 0).all() and (b <= 1).all()  # sigmoid cxcywh
+
+
+def test_decoder_no_traj_mode(rng):
+    # pred_traj=False (the Epic 16-frame eval configuration,
+    # run/test_epic.py:145-182): boxes are per-clip, not per-frame.
+    cfg = DecoderConfig(
+        d_model=32,
+        nhead=4,
+        num_layers=2,
+        dim_feedforward=64,
+        num_queries=5,
+        num_classes=10,
+        feature_dim=48,
+        num_frames=4,
+        patches_per_frame=4,
+        pred_traj=False,
+    )
+    params = init_decoder_params(jax.random.PRNGKey(5), cfg)
+    feats = jnp.asarray(rng.normal(size=(1, 4, 4, 48)).astype(np.float32))
+    out = decoder_forward(params, cfg, feats)
+    assert out.pred_boxes.shape == (1, 5, 4)  # per-clip boxes
+    # T shorter than the temporal table also works (variable-length clips)
+    feats2 = jnp.asarray(rng.normal(size=(1, 2, 4, 48)).astype(np.float32))
+    out2 = decoder_forward(params, cfg, feats2)
+    assert out2.pred_boxes.shape == (1, 5, 4)
+
+
+def test_decoder_single_query_mode(rng):
+    cfg = DecoderConfig(
+        d_model=32,
+        nhead=4,
+        num_layers=2,
+        dim_feedforward=64,
+        num_queries=1,
+        num_classes=10,
+        feature_dim=48,
+        num_frames=2,
+        patches_per_frame=4,
+        n_decode=6,
+    )
+    params = init_decoder_params(jax.random.PRNGKey(6), cfg)
+    feats = jnp.asarray(rng.normal(size=(2, 2, 4, 48)).astype(np.float32))
+    out = decoder_forward(params, cfg, feats)
+    assert out.pred_boxes.shape == (4, 6, 4)  # B*T rows, n_decode boxes
+
+
+def test_decoder_dropout_determinism(rng):
+    cfg = DecoderConfig(
+        d_model=32, nhead=4, num_layers=2, dim_feedforward=64, num_queries=3,
+        num_classes=4, feature_dim=48, num_frames=2, patches_per_frame=4,
+    )
+    params = init_decoder_params(jax.random.PRNGKey(7), cfg)
+    feats = jnp.asarray(rng.normal(size=(1, 2, 4, 48)).astype(np.float32))
+    a = decoder_forward(params, cfg, feats, deterministic=True)
+    b = decoder_forward(params, cfg, feats, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a.pred_boxes), np.asarray(b.pred_boxes))
+    c = decoder_forward(
+        params, cfg, feats, rng=jax.random.PRNGKey(0), deterministic=False
+    )
+    assert not np.allclose(np.asarray(a.pred_boxes), np.asarray(c.pred_boxes))
