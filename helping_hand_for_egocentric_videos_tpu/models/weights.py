@@ -1,0 +1,204 @@
+"""PyTorch checkpoint -> JAX pytree converters.
+
+Loads the released weights the reference consumes and maps them onto this
+framework's parameter trees:
+
+- LaviLa dual-encoder checkpoints
+  (``clip_openai_timesformer_{large,base}...pth``): full CLIP state dict
+  with a ``module.`` prefix (stripped like run/train.py:434-437).
+- Helping-hands decoder checkpoints (``*.pth.tar`` with a ``state_dict``
+  of the ObjDecoder).
+- Raw OpenAI CLIP visual towers (the ``remap_keys`` CLIP->TimeSformer
+  mapping, model/LaviLa.py:19-53) for building a backbone from scratch.
+
+Layout conventions: our Linear weights are (in, out) = transpose of
+torch; the conv patchifier becomes a (P*P*C, D) matmul weight; torch's
+packed ``in_proj_weight`` is split into wq/wk/wv.
+
+``inflate_temporal_embed`` reproduces the 4->16-frame bilinear inflation
+used at eval (run/test_egtea.py:46-96 via test_epic.py:128-132).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+__all__ = [
+    "load_torch_state_dict",
+    "convert_lavila_checkpoint",
+    "convert_decoder_checkpoint",
+    "inflate_temporal_embed",
+]
+
+
+def load_torch_state_dict(path: str) -> dict:
+    """torch.load a checkpoint and return a numpy state dict with the
+    ``module.`` prefix stripped and an inner ``state_dict`` unwrapped."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module.") :]
+        out[k] = v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+    return out
+
+
+def _lin(sd, name):
+    p = {"w": jnp.asarray(sd[f"{name}.weight"].T)}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"])
+    return p
+
+
+def _ln(sd, name):
+    return {"g": jnp.asarray(sd[f"{name}.weight"]), "b": jnp.asarray(sd[f"{name}.bias"])}
+
+
+def _mha(sd, name):
+    """torch.nn.MultiheadAttention -> {wq, wk, wv, wo}."""
+    w = sd[f"{name}.in_proj_weight"]  # (3D, D)
+    b = sd[f"{name}.in_proj_bias"]
+    d = w.shape[1]
+    wq, wk, wv = w[:d], w[d : 2 * d], w[2 * d :]
+    bq, bk, bv = b[:d], b[d : 2 * d], b[2 * d :]
+    return {
+        "wq": {"w": jnp.asarray(wq.T), "b": jnp.asarray(bq)},
+        "wk": {"w": jnp.asarray(wk.T), "b": jnp.asarray(bk)},
+        "wv": {"w": jnp.asarray(wv.T), "b": jnp.asarray(bv)},
+        "wo": _lin(sd, f"{name}.out_proj"),
+    }
+
+
+def _stack(trees):
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def convert_lavila_checkpoint(sd: dict, visual_depth: int = 24, text_layers: int = 12):
+    """Full LaviLa CLIP state dict -> our lavila params pytree."""
+    conv_w = sd["visual.patch_embed.proj.weight"]  # (D, C, P, P)
+    d_out = conv_w.shape[0]
+    patch_w = conv_w.transpose(2, 3, 1, 0).reshape(-1, d_out)
+
+    vis_blocks = []
+    for i in range(visual_depth):
+        pre = f"visual.blocks.{i}"
+        vis_blocks.append(
+            {
+                "norm1": _ln(sd, f"{pre}.norm1"),
+                "attn": {
+                    "qkv": _lin(sd, f"{pre}.attn.qkv"),
+                    "proj": _lin(sd, f"{pre}.attn.proj"),
+                },
+                "norm3": _ln(sd, f"{pre}.norm3"),
+                "timeattn": {
+                    "qkv": _lin(sd, f"{pre}.timeattn.qkv"),
+                    "proj": _lin(sd, f"{pre}.timeattn.proj"),
+                },
+                "norm2": _ln(sd, f"{pre}.norm2"),
+                "mlp_fc1": _lin(sd, f"{pre}.mlp.fc1"),
+                "mlp_fc2": _lin(sd, f"{pre}.mlp.fc2"),
+            }
+        )
+
+    txt_blocks = []
+    for i in range(text_layers):
+        pre = f"transformer.resblocks.{i}"
+        txt_blocks.append(
+            {
+                "ln_1": _ln(sd, f"{pre}.ln_1"),
+                "attn": _mha(sd, f"{pre}.attn"),
+                "ln_2": _ln(sd, f"{pre}.ln_2"),
+                "mlp_fc": _lin(sd, f"{pre}.mlp.c_fc"),
+                "mlp_proj": _lin(sd, f"{pre}.mlp.c_proj"),
+            }
+        )
+
+    return {
+        "visual": {
+            "patch_embed": {"w": jnp.asarray(patch_w)},
+            "cls_token": jnp.asarray(sd["visual.cls_token"]),
+            "pos_embed": jnp.asarray(sd["visual.pos_embed"]),
+            "temporal_embed": jnp.asarray(sd["visual.temporal_embed"]),
+            "ln_pre": _ln(sd, "visual.ln_pre"),
+            "blocks": _stack(vis_blocks),
+            "norm": _ln(sd, "visual.norm"),
+        },
+        "text": {
+            "token_embedding": jnp.asarray(sd["token_embedding.weight"]),
+            "positional_embedding": jnp.asarray(sd["positional_embedding"]),
+            "blocks": _stack(txt_blocks),
+            "ln_final": _ln(sd, "ln_final"),
+            "text_projection": jnp.asarray(sd["text_projection"]),
+        },
+        "image_projection": jnp.asarray(sd["image_projection"]),
+        "logit_scale": jnp.asarray(sd["logit_scale"]),
+    }
+
+
+def convert_decoder_checkpoint(sd: dict, num_layers: int = 6):
+    """Helping-hands ObjDecoder state dict -> our decoder params pytree."""
+    layers = []
+    for i in range(num_layers):
+        pre = f"transformer.decoder.layers.{i}"
+        layers.append(
+            {
+                "norm1": _ln(sd, f"{pre}.norm1"),
+                "self_attn": _mha(sd, f"{pre}.self_attn"),
+                "norm2": _ln(sd, f"{pre}.norm2"),
+                "cross_attn": _mha(sd, f"{pre}.multihead_attn"),
+                "norm3": _ln(sd, f"{pre}.norm3"),
+                "linear1": _lin(sd, f"{pre}.linear1"),
+                "linear2": _lin(sd, f"{pre}.linear2"),
+            }
+        )
+
+    params = {
+        "pre_norm": _ln(sd, "transformer.pre_norm"),
+        "layers": _stack(layers),
+        "decoder_norm": _ln(sd, "transformer.decoder.norm"),
+        "query_embed": jnp.asarray(sd["query_embed.weight"]),
+        "class_embed": _lin(sd, "class_embed"),
+        "bbox_mlp": [
+            _lin(sd, "bbox_embed.layers.0"),
+            _lin(sd, "bbox_embed.layers.1"),
+            _lin(sd, "bbox_embed.layers.2"),
+        ],
+        "proj": {"w": jnp.asarray(sd["proj.weight"].T)},
+        "pos_embed": jnp.asarray(sd["pos_embed"]),
+        "temporal_embed": jnp.asarray(sd["temporal_embed"]),
+        "txt_proj": _lin(sd, "txt_proj.1"),
+        "vid_proj": _lin(sd, "vid_proj.0"),
+        "obj_proj": [_lin(sd, "obj_proj.0"), _lin(sd, "obj_proj.2")],
+    }
+    if "frame_index.weight" in sd:
+        params["frame_index"] = jnp.asarray(sd["frame_index.weight"])
+        params["frame_proj"] = _lin(sd, "frame_proj")
+    if "query_index.weight" in sd:
+        params["query_index"] = jnp.asarray(sd["query_index.weight"])
+    return params
+
+
+def inflate_temporal_embed(temporal_embed, num_frames: int):
+    """Bilinearly resample a (1, T0, D) temporal embedding to T frames.
+
+    Matches the reference's F.interpolate(mode='bilinear') inflation
+    (run/test_egtea.py:74-88).
+    """
+    import jax
+
+    te = jnp.asarray(temporal_embed)
+    t0 = te.shape[1]
+    if t0 == num_frames:
+        return te
+    # torch bilinear on a (1, 1, T, D) image with align_corners=False
+    resized = jax.image.resize(
+        te[0], (num_frames, te.shape[2]), method="linear"
+    )
+    return resized[None]
