@@ -1,0 +1,84 @@
+"""Fused device-side video preprocessing.
+
+The reference preprocesses on the host CPU with torchvision (per-worker
+Python, data_loader/transforms.py): uint8 decode -> float/255 -> Resize ->
+(CenterCrop) -> per-channel Normalize. On TPU the decode stage ships raw
+uint8 frames and everything after runs as one fused XLA op inside the
+step, saving 4x host->device bandwidth (uint8 vs f32) and all host CPU.
+
+Pipelines (matching data_loader/transforms.py:38-75):
+- ``resize_normalize``: Resize((res, res)) + Normalize — the
+  ``resize_wo_crop`` val pipeline, which is ALSO the training pipeline
+  (force_centercrop=True swaps train->val, transforms.py:73-74,
+  run/train.py:443).
+- ``shortside_centercrop_normalize``: Resize(short) -> CenterCrop(short)
+  -> Resize(res) -> Normalize — the resize_wo_crop=False variant and the
+  EGTEA eval path.
+
+Channel stats default to LaviLa's (run/train.py:444-445).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "LAVILA_MEAN",
+    "LAVILA_STD",
+    "resize_normalize",
+    "shortside_centercrop_normalize",
+]
+
+LAVILA_MEAN = (108.3272985 / 255, 116.7460125 / 255, 104.09373615 / 255)
+LAVILA_STD = (68.5005327 / 255, 66.6321579 / 255, 70.32316305 / 255)
+
+
+def _norm(x, mean, std):
+    mean = jnp.asarray(mean, x.dtype)
+    std = jnp.asarray(std, x.dtype)
+    return (x - mean) / std
+
+
+def resize_normalize(
+    video_u8,
+    res: int = 224,
+    mean=LAVILA_MEAN,
+    std=LAVILA_STD,
+    dtype=jnp.float32,
+):
+    """(..., H, W, C) uint8 -> (..., res, res, C) normalised float.
+
+    Square (aspect-squashing) bilinear resize, then /255 and per-channel
+    normalisation — torchvision Resize((res, res)) semantics
+    (antialias off for the video-tensor path the reference uses).
+    """
+    x = video_u8.astype(dtype) / 255.0
+    shape = video_u8.shape[:-3] + (res, res, video_u8.shape[-1])
+    if video_u8.shape[-3:-1] != (res, res):
+        x = jax.image.resize(x, shape, method="bilinear")
+    return _norm(x, mean, std)
+
+
+def shortside_centercrop_normalize(
+    video_u8,
+    short: int = 256,
+    res: int = 224,
+    mean=LAVILA_MEAN,
+    std=LAVILA_STD,
+    dtype=jnp.float32,
+):
+    """Resize(shorter side=short) -> CenterCrop(short) -> Resize(res) ->
+    Normalize. Static shapes: the input H/W are compile-time constants."""
+    *lead, h, w, c = video_u8.shape
+    x = video_u8.astype(dtype) / 255.0
+    if h <= w:
+        nh, nw = short, max(int(round(w * short / h)), short)
+    else:
+        nh, nw = max(int(round(h * short / w)), short), short
+    x = jax.image.resize(x, (*lead, nh, nw, c), method="bilinear")
+    top, left = (nh - short) // 2, (nw - short) // 2
+    x = x[..., top : top + short, left : left + short, :]
+    if short != res:
+        x = jax.image.resize(x, (*lead, res, res, c), method="bilinear")
+    return _norm(x, mean, std)

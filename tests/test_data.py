@@ -1,0 +1,224 @@
+"""Data-pipeline tests on synthetic fixtures.
+
+Builds a miniature EgoClip/Epic/EGTEA data+meta layout (with .npy clip
+tensors standing in for mp4 chunks, since this image has no video codecs)
+and exercises datasets, samplers, the native JPEG path, the sharded
+loader, and batch preparation.
+"""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+import torch
+
+from helping_hand_for_egocentric_videos_tpu.data import (
+    ClipTokenizer,
+    PrefetchLoader,
+    ShardedSampler,
+    collate,
+    prepare_train_batch,
+    sample_frames,
+    sample_frames_start_end,
+    get_frame_ids,
+)
+from helping_hand_for_egocentric_videos_tpu.data.egoclip import (
+    EgoClipConfig,
+    EgoClipDataset,
+)
+from helping_hand_for_egocentric_videos_tpu.data.video import read_clip_chunked
+
+FPS = 30
+
+
+# ------------------------------------------------------------- samplers
+def test_sample_frames_uniform_matches_reference_math():
+    # reference: midpoints of linspace segments (base_dataset.py:178-193)
+    got = sample_frames(4, 100, sample="uniform")
+    intervals = np.linspace(0, 100, 5).astype(int)
+    want = [(intervals[i] + intervals[i + 1] - 1) // 2 for i in range(4)]
+    assert got == want
+
+
+def test_sample_frames_start_end_exact_window():
+    # end-start+1 == num_frames triggers the inclusive-stop branch
+    got = sample_frames_start_end(4, 10, 13, sample="uniform")
+    assert got == [10, 11, 12, 13]
+
+
+def test_get_frame_ids_no_jitter_deterministic():
+    a = get_frame_ids(0, 120, num_segments=4, jitter=False)
+    b = get_frame_ids(0, 120, num_segments=4, jitter=False)
+    assert a == b and len(a) == 4
+    assert all(0 <= x <= 120 for x in a)
+
+
+# ------------------------------------------------------------- fixtures
+@pytest.fixture
+def egoclip_fixture(tmp_path):
+    rng = np.random.default_rng(0)
+    meta = tmp_path / "meta"
+    data = tmp_path / "data"
+    meta.mkdir()
+    uid = "vid_001"
+
+    # chunked "videos": 0.mp4.npy with 60 frames, plus a next chunk
+    vdir = data / "videos_256_chunked" / uid
+    vdir.mkdir(parents=True)
+    np.save(vdir / "0.mp4.npy", (rng.random((60, 32, 48, 3)) * 255).astype(np.uint8))
+    np.save(vdir / "1.mp4.npy", (rng.random((60, 32, 48, 3)) * 255).astype(np.uint8))
+
+    # egoclip.csv (tsv)
+    rows = ["video_uid\tclip_start\tclip_end\tclip_text\ttag_noun\ttag_verb\tnarration_time"]
+    for i in range(6):
+        start = 0.2 + i * 0.3
+        rows.append(
+            f"{uid}\t{start}\t{start + 0.5}\t#C C opens a drawer\t[1, 2]\t[0]\t{start}"
+        )
+    (meta / "egoclip.csv").write_text("\n".join(rows))
+
+    # egomcq.json: 2 questions, 5 choices each
+    def choice(start):
+        return {
+            "video_uid": uid,
+            "clip_start": start,
+            "clip_end": start + 0.5,
+            "clip_text": "#C C opens a drawer",
+            "tag_noun": "[1]",
+            "tag_verb": "[0]",
+            "narration_time": start,
+        }
+
+    mcq = {
+        str(q): {
+            "query": choice(0.2),
+            "choices": {str(i): choice(0.2 + 0.3 * i) for i in range(5)},
+            "answer": q % 5,
+            "types": 1 + q % 2,
+        }
+        for q in range(2)
+    }
+    (meta / "egomcq.json").write_text(json.dumps(mcq))
+
+    # noun taxonomy + dictionary
+    import pandas as pd
+
+    pd.DataFrame({"group": [["drawer"], ["drawer", "cabinet"], ["knife"]]}).to_csv(
+        meta / "narration_noun_taxonomy.csv", index=False
+    )
+    noun_dict = {"pad": torch.zeros(16), "drawer": torch.ones(16), "knife": torch.full((16,), 2.0)}
+    torch.save(noun_dict, meta / "noun_dict_lavila_embeds.pth")
+
+    # rephrased captions for the first clip
+    reph = {uid: {"0": {0.2: [["#C C opens a drawer"]] + [[f"rephrase {i}"] for i in range(4)]}}}
+    torch.save(reph, meta / "lavila_rephrased.pth")
+
+    # handobj pickles
+    hdir = data / "hand_object_clip_per_video_4f_lavila_narrator_640" / uid
+    hdir.mkdir(parents=True)
+    per_clip = {
+        i: {
+            "hand_dets": np.array([[5, 5, 20, 20, 0.9], [1, 1, 10, 10, 0.5]]),
+            "obj_dets": np.array([[8, 8, 30, 30, 0.8]]),
+        }
+        for i in range(4)
+    }
+    per_clip["info"] = {"height": 32, "width": 48}
+    info = {round(0.2 + i * 0.3, 3): per_clip for i in range(6)}
+    with open(hdir / "0.handobj.pkl", "wb") as f:
+        pickle.dump(info, f)
+
+    return str(meta), str(data)
+
+
+def test_read_clip_chunked_npy(tmp_path):
+    rng = np.random.default_rng(1)
+    np.save(tmp_path / "0.mp4.npy", (rng.random((90, 8, 8, 3)) * 255).astype(np.uint8))
+    frames, secs = read_clip_chunked(
+        str(tmp_path / "0.mp4"), 1.0, 2.0, clip_length=4, jitter=False
+    )
+    assert frames.shape == (4, 8, 8, 3)
+    assert len(secs) == 4 and all(1.0 <= s <= 3.2 for s in secs)
+
+
+def test_read_clip_cross_chunk(tmp_path):
+    rng = np.random.default_rng(2)
+    np.save(tmp_path / "0.mp4.npy", (rng.random((45, 8, 8, 3)) * 255).astype(np.uint8))
+    np.save(tmp_path / "1.mp4.npy", np.full((60, 8, 8, 3), 7, np.uint8))
+    # clip [1.0s, 2.0s) = frames 30..60 — crosses the 45-frame chunk end
+    frames, _ = read_clip_chunked(
+        str(tmp_path / "0.mp4"),
+        1.0,
+        2.0,
+        next_path=str(tmp_path / "1.mp4"),
+        clip_length=4,
+        jitter=False,
+    )
+    assert frames.shape == (4, 8, 8, 3)
+    assert (frames[-1] == 7).all()  # last frame came from the next chunk
+
+
+def test_egoclip_train_item(egoclip_fixture):
+    meta, data = egoclip_fixture
+    ds = EgoClipDataset(EgoClipConfig(meta_dir=meta, data_dir=data, split="train", decode_res=(32, 48)))
+    assert len(ds) == 6
+    item = ds[0]
+    assert item["video"].shape == (4, 32, 48, 3)
+    assert item["video"].dtype == np.uint8
+    assert item["noun_vec"].shape == (582,)
+    assert item["boxes"].shape == (4, 4, 4)
+    # boxes scaled from 48x32 original to 224 square
+    assert item["boxes"].max() > 20  # 30 * 224/48 = 140
+    assert item["rephrased_text"][0] == "#C C opens a drawer"
+    assert item["rephrased_text"][1] == "rephrase 0"  # matched rephrases
+    assert (item["nouns"] != 0).sum() >= 1  # 'drawer' extracted
+    # negative sampling fields
+    assert "video_neg" in item and item["video_neg"].shape == (4, 32, 48, 3)
+
+
+def test_egoclip_val_item(egoclip_fixture):
+    meta, data = egoclip_fixture
+    ds = EgoClipDataset(EgoClipConfig(meta_dir=meta, data_dir=data, split="val", decode_res=(32, 48)))
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["video"].shape == (5, 4, 32, 48, 3)
+    assert item["type"] in (1, 2)
+    assert 0 <= item["correct"] < 5
+
+
+def test_loader_and_prepare_batch(egoclip_fixture):
+    meta, data = egoclip_fixture
+    ds = EgoClipDataset(EgoClipConfig(meta_dir=meta, data_dir=data, split="train", decode_res=(32, 48)))
+    sampler = ShardedSampler(len(ds), batch_size=2, shuffle=True, seed=1)
+    loader = PrefetchLoader(ds, sampler, num_threads=2)
+    tok = ClipTokenizer()
+    batches = list(loader)
+    assert len(batches) == 3
+    b = prepare_train_batch(batches[0], tok)
+    assert b["video"].shape == (4, 4, 32, 48, 3)  # pos+neg concat
+    assert b["tokens"].shape == (20, 77)
+    assert b["noun_vec"].shape == (4, 582)
+    assert b["boxes"].shape == (4, 4, 4, 4)
+    assert b["nouns"].shape == (4, 4)
+    # stopword noun dims zeroed
+    assert b["noun_vec"][:, [102, 504, 364, 321, 556]].sum() == 0
+
+
+def test_sharded_sampler_partition():
+    parts = []
+    for host in range(4):
+        s = ShardedSampler(100, 5, shuffle=False, host_id=host, num_hosts=4)
+        parts.append(np.concatenate(list(s)))
+    allidx = np.concatenate(parts)
+    assert len(allidx) == 100 and len(set(allidx.tolist())) == 100
+
+
+def test_sharded_sampler_epoch_shuffle():
+    s = ShardedSampler(50, 5, shuffle=True, seed=3)
+    a = np.concatenate(list(s))
+    s.set_epoch(1)
+    b = np.concatenate(list(s))
+    assert not np.array_equal(a, b)
+    assert sorted(a.tolist()) == sorted(b.tolist())
