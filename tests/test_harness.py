@@ -1,0 +1,241 @@
+"""End-to-end harness tests: eval harnesses + full pretrain loop on tiny
+models with synthetic fixtures (npy clips instead of mp4)."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from helping_hand_for_egocentric_videos_tpu.core.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from helping_hand_for_egocentric_videos_tpu.core.config import (
+    ExperimentConfig,
+    apply_overrides,
+)
+from helping_hand_for_egocentric_videos_tpu.data import ClipTokenizer
+from helping_hand_for_egocentric_videos_tpu.data.egoclip import EgoClipConfig, EgoClipDataset
+from helping_hand_for_egocentric_videos_tpu.models import (
+    DecoderConfig,
+    init_decoder_params,
+    init_lavila_params,
+)
+from helping_hand_for_egocentric_videos_tpu.models.clip_text import TextConfig
+from helping_hand_for_egocentric_videos_tpu.models.lavila import LavilaConfig
+from helping_hand_for_egocentric_videos_tpu.models.spacetime_vit import SpaceTimeConfig
+from helping_hand_for_egocentric_videos_tpu.train.evaluate import (
+    EvalModel,
+    run_egomcq,
+    run_epic_mir,
+    run_egtea,
+)
+
+RES = 28  # tiny input res (2x2 patches of 14)
+
+
+def tiny_models(t=4):
+    lavila_cfg = LavilaConfig(
+        visual=SpaceTimeConfig(img_size=RES, patch_size=14, width=32, depth=2, heads=4, num_frames=t),
+        text=TextConfig(width=32, heads=4, layers=2, embed_dim=16),
+        embed_dim=16,
+    )
+    dec_cfg = DecoderConfig(
+        d_model=32,
+        nhead=4,
+        num_layers=2,
+        dim_feedforward=64,
+        num_queries=13,
+        num_classes=8,
+        feature_dim=32,
+        text_width=32,
+        embed_dim=16,
+        num_frames=t,
+        patches_per_frame=lavila_cfg.visual.patches_per_frame,
+    )
+    backbone = init_lavila_params(jax.random.PRNGKey(0), lavila_cfg)
+    decoder = init_decoder_params(jax.random.PRNGKey(1), dec_cfg)
+    return lavila_cfg, backbone, dec_cfg, decoder
+
+
+def tiny_eval_model(t=4, preprocess="resize"):
+    lavila_cfg, backbone, dec_cfg, decoder = tiny_models(t)
+    return EvalModel(
+        backbone_params=backbone,
+        lavila_cfg=lavila_cfg,
+        decoder_params=decoder,
+        dec_cfg=dec_cfg,
+        tokenizer=ClipTokenizer(),
+        input_res=RES,
+        preprocess=preprocess,
+        dtype=jnp.float32,
+    )
+
+
+@pytest.fixture
+def egoclip_fixture(tmp_path):
+    # reuse the builder from test_data
+    from test_data import egoclip_fixture as _f  # noqa
+
+    rng = np.random.default_rng(0)
+    meta = tmp_path / "meta"
+    data = tmp_path / "data"
+    meta.mkdir()
+    uid = "vid_001"
+    vdir = data / "videos_256_chunked" / uid
+    vdir.mkdir(parents=True)
+    np.save(vdir / "0.mp4.npy", (rng.random((90, 32, 48, 3)) * 255).astype(np.uint8))
+
+    rows = ["video_uid\tclip_start\tclip_end\tclip_text\ttag_noun\ttag_verb\tnarration_time"]
+    for i in range(8):
+        start = 0.2 + i * 0.3
+        rows.append(f"{uid}\t{start}\t{start + 0.5}\t#C C opens a drawer\t[1]\t[0]\t{start}")
+    (meta / "egoclip.csv").write_text("\n".join(rows))
+
+    def choice(start):
+        return {
+            "video_uid": uid,
+            "clip_start": start,
+            "clip_end": start + 0.5,
+            "clip_text": "#C C opens a drawer",
+            "tag_noun": "[1]",
+            "tag_verb": "[0]",
+            "narration_time": start,
+        }
+
+    mcq = {
+        str(q): {
+            "query": choice(0.2 + 0.3 * q),
+            "choices": {str(i): choice(0.2 + 0.3 * i) for i in range(5)},
+            "answer": q % 5,
+            "types": 1 + q % 2,
+        }
+        for q in range(4)
+    }
+    (meta / "egomcq.json").write_text(json.dumps(mcq))
+
+    import pandas as pd
+
+    pd.DataFrame({"group": [["drawer"], ["drawer"]]}).to_csv(
+        meta / "narration_noun_taxonomy.csv", index=False
+    )
+    torch.save(
+        {"pad": torch.zeros(32), "drawer": torch.ones(32)},
+        meta / "noun_dict_lavila_embeds.pth",
+    )
+    torch.save({}, meta / "lavila_rephrased.pth")
+    return str(meta), str(data)
+
+
+def test_run_egomcq_tiny(egoclip_fixture):
+    meta, data = egoclip_fixture
+    model = tiny_eval_model()
+    ds = EgoClipDataset(
+        EgoClipConfig(meta_dir=meta, data_dir=data, split="val", num_frames=4, input_res=RES)
+    )
+    res = run_egomcq(model, ds)
+    assert set(res) >= {"Intra-video", "Inter-video"}
+    assert 0 <= res["Inter-video"] <= 100
+
+
+def test_run_epic_tiny(tmp_path):
+    # synthetic "dataset": items straight from arrays
+    class FakeEpic:
+        def __init__(self, n):
+            self.n = n
+            self.rng = np.random.default_rng(0)
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return {
+                "video": (self.rng.random((4, 32, 48, 3)) * 255).astype(np.uint8),
+                "text": f"take the plate {i}",
+            }
+
+    n_vid, n_cap = 6, 6
+    relevancy = np.eye(n_vid, n_cap)
+    indexes = np.arange(n_cap)
+    model = tiny_eval_model()
+    res = run_epic_mir(model, FakeEpic(n_vid), relevancy, indexes, batch_size=4)
+    for k in ("mAP_VT", "mAP_TV", "mAP_AVG", "nDCG_VT", "nDCG_TV", "nDCG_AVG"):
+        assert 0 <= res[k] <= 1.0001
+
+
+def test_run_egtea_tiny():
+    class FakeEgtea:
+        def __init__(self, labels):
+            self.labels = labels
+            self.rng = np.random.default_rng(0)
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return {
+                # num_clips=2 windows of 4 frames
+                "video": (self.rng.random((8, 32, 48, 3)) * 255).astype(np.uint8),
+                "label_text": self.labels[i % len(self.labels)],
+            }
+
+    labels = ["open drawer", "cut onion", "wash plate"]
+    model = tiny_eval_model(preprocess="shortside")
+    res = run_egtea(model, FakeEgtea(labels), labels)
+    assert 0 <= res["mean_class_acc"] <= 100
+    assert 0 <= res["top1"] <= 100
+
+
+def test_pretrain_loop_end_to_end(egoclip_fixture, tmp_path):
+    from helping_hand_for_egocentric_videos_tpu.train.pretrain import pretrain
+
+    meta, data = egoclip_fixture
+    cfg = ExperimentConfig(name="tiny", output_dir=str(tmp_path / "runs"))
+    cfg.data.meta_dir = meta
+    cfg.data.data_dir = data
+    cfg.data.batch_size = 2
+    cfg.data.num_frames = 4
+    cfg.data.input_res = RES
+    cfg.data.num_workers = 2
+    cfg.model.num_queries = 12
+    cfg.optim.eval_freq = 2
+    cfg.optim.runtime_save_iter = 2
+    cfg.optim.epochs = 1
+    cfg.parallel.backbone_dtype = "float32"
+    cfg.parallel.num_devices = 2  # global batch (pos+neg=4) must divide
+
+    state, best = pretrain(cfg, max_steps=3, eval_limit=2, models=tiny_models())
+    assert int(state.step) == 3
+    exp = tmp_path / "runs" / "tiny"
+    assert (exp / "running_config.json").exists()
+    assert (exp / "train_metrics.jsonl").exists()
+    assert latest_step(str(exp / "checkpoints")) == 2
+    # metrics are parseable and finite
+    lines = [json.loads(l) for l in open(exp / "train_metrics.jsonl")]
+    assert any("local/total_loss" in l for l in lines)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": np.arange(6, dtype=np.float32).reshape(2, 3), "b": {"c": np.float64(1.5)}}
+    for step in (1, 2, 3):
+        save_checkpoint(str(tmp_path), step, tree, keep=2)
+    assert latest_step(str(tmp_path)) == 3
+    assert not os.path.exists(tmp_path / "step_00000001")  # pruned
+    restored, step = restore_checkpoint(str(tmp_path), template=tree)
+    assert step == 3
+    np.testing.assert_array_equal(restored["a"], tree["a"])
+
+
+def test_config_overrides():
+    cfg = ExperimentConfig()
+    apply_overrides(cfg, ["data.batch_size=64", "optim.lr=0.001", "name=x", "model.pred_traj=false"])
+    assert cfg.data.batch_size == 64
+    assert cfg.optim.lr == 0.001
+    assert cfg.name == "x"
+    assert cfg.model.pred_traj is False
