@@ -52,6 +52,8 @@ class SpaceTimeConfig:
     num_frames: int = 4
     ln_eps: float = 1e-6  # timm default eps for TimeSformer norms
     use_quick_gelu: bool = True  # CLIP-initialised towers use QuickGELU
+    # 'auto' -> Pallas fused attention on TPU, plain XLA elsewhere
+    attention_backend: str = "auto"
 
     @property
     def patches_per_frame(self) -> int:
@@ -115,14 +117,73 @@ def _attend(q, k, v):
     return jnp.einsum("...qk,...kd->...qd", probs, v)
 
 
-def _var_attention(p, x, t: int, n: int, heads: int, mode: str):
-    """Divided attention over (B, 1 + T*N, D) tokens.
+def _use_pallas(backend: str) -> bool:
+    if backend == "pallas":
+        return True
+    if backend == "auto":
+        return jax.default_backend() not in ("cpu", "gpu")
+    return False
+
+
+def _var_attention_pallas(p, x_cls, x_p, t: int, n: int, heads: int, mode: str, interpret=False):
+    """Divided attention via the packed-qkv Pallas kernel on a split
+    (cls, patches) representation: the patch qkv matmul's (B, T*N, 3D)
+    output reshapes for free into the kernel's (B, T, N, 3D) tile — no
+    token slicing, head transposes or output concat ever touch HBM.
+
+    Returns (cls_out (B, 1, D), patch_out (B, T*N, D)), post-projection.
+    """
+    from ..ops.divided_attention import divided_patch_attention
+
+    b, _, d = x_p.shape
+    dh = d // heads
+    qkv_p = linear(p["qkv"], x_p).reshape(b, t, n, 3 * d)
+    qkv_c = linear(p["qkv"], x_cls)[:, 0]  # (B, 3D)
+
+    cls_k = qkv_c[:, d : 2 * d]
+    cls_v = qkv_c[:, 2 * d :]
+    out_patch = divided_patch_attention(
+        qkv_p, cls_k, cls_v, mode=mode, heads=heads, interpret=interpret
+    ).reshape(b, t * n, d)
+
+    # CLS query attends over [cls | all patches] — one query per head.
+    cls_q = qkv_c[:, :d].reshape(b, heads, dh) * (dh**-0.5)
+    k_p = qkv_p[..., d : 2 * d].reshape(b, t * n, heads, dh)
+    v_p = qkv_p[..., 2 * d :].reshape(b, t * n, heads, dh)
+    logits_p = jnp.einsum("bhd,bshd->bhs", cls_q, k_p).astype(jnp.float32)
+    logit_self = jnp.sum(
+        cls_q * cls_k.reshape(b, heads, dh), axis=-1, keepdims=True
+    ).astype(jnp.float32)
+    m = jnp.maximum(jnp.max(logits_p, axis=-1, keepdims=True), logit_self)
+    e_p = jnp.exp(logits_p - m)
+    e_c = jnp.exp(logit_self - m)
+    denom = jnp.sum(e_p, axis=-1, keepdims=True) + e_c
+    cls_out = jnp.einsum("bhs,bshd->bhd", e_p.astype(x_p.dtype), v_p)
+    cls_out = cls_out + e_c.astype(x_p.dtype) * cls_v.reshape(b, heads, dh)
+    cls_out = (cls_out / denom.astype(x_p.dtype)).reshape(b, 1, d)
+
+    return linear(p["proj"], cls_out), linear(p["proj"], out_patch)
+
+
+def _var_attention_split(p, x_cls, x_p, t, n, heads, mode, backend):
+    """Divided attention on the split (cls, patches) representation.
 
     mode='space': patch tokens attend within their frame (groups of N),
     mode='time' : patch tokens attend within their patch tube (groups of T);
     the CLS key/value is prepended to every group, and the CLS query
     attends over all 1+T*N tokens (model/LaviLa.py:246-276).
     """
+    if backend == "pallas_interpret":  # CPU-testable kernel path
+        return _var_attention_pallas(p, x_cls, x_p, t, n, heads, mode, interpret=True)
+    if _use_pallas(backend):
+        return _var_attention_pallas(p, x_cls, x_p, t, n, heads, mode)
+    x = jnp.concatenate([x_cls, x_p], axis=1)
+    out = _var_attention(p, x, t, n, heads, mode)
+    return out[:, :1], out[:, 1:]
+
+
+def _var_attention(p, x, t: int, n: int, heads: int, mode: str):
+    """Reference XLA implementation over the full (B, 1 + T*N, D) tokens."""
     b, seq, d = x.shape
     dh = d // heads
     qkv = linear(p["qkv"], x)
@@ -170,16 +231,38 @@ def _var_attention(p, x, t: int, n: int, heads: int, mode: str):
 
 
 def _block(p, x, cfg: SpaceTimeConfig, t: int, n: int):
+    """One SpaceTimeBlock on the split (x_cls, x_p) representation.
+
+    LayerNorm/MLP are per-token, so applying them to the two parts
+    separately is exactly the reference math on the concatenated sequence.
+    """
     eps = cfg.ln_eps
     act = quick_gelu if cfg.use_quick_gelu else jax.nn.gelu
-    time_out = _var_attention(p["timeattn"], layer_norm(p["norm3"], x, eps), t, n, cfg.heads, "time")
-    time_residual = x + time_out
-    space_out = _var_attention(p["attn"], layer_norm(p["norm1"], time_residual, eps), t, n, cfg.heads, "space")
+    be = cfg.attention_backend
+    x_cls, x_p = x
+
+    tc, tp = _var_attention_split(
+        p["timeattn"],
+        layer_norm(p["norm3"], x_cls, eps),
+        layer_norm(p["norm3"], x_p, eps),
+        t, n, cfg.heads, "time", be,
+    )
+    tr_cls, tr_p = x_cls + tc, x_p + tp
+
+    sc, sp = _var_attention_split(
+        p["attn"],
+        layer_norm(p["norm1"], tr_cls, eps),
+        layer_norm(p["norm1"], tr_p, eps),
+        t, n, cfg.heads, "space", be,
+    )
     # 'frozen-in-time' residual: from x, not time_residual (L:383-384)
-    space_residual = x + space_out
-    h = layer_norm(p["norm2"], space_residual, eps)
-    h = linear(p["mlp_fc2"], act(linear(p["mlp_fc1"], h)))
-    return space_residual + h
+    sr_cls, sr_p = x_cls + sc, x_p + sp
+
+    def mlp(z):
+        h = layer_norm(p["norm2"], z, eps)
+        return z + linear(p["mlp_fc2"], act(linear(p["mlp_fc1"], h)))
+
+    return mlp(sr_cls), mlp(sr_p)
 
 
 def patchify(params, cfg: SpaceTimeConfig, video):
@@ -216,18 +299,15 @@ def spacetime_forward(
     n = cfg.patches_per_frame
 
     params = jax.tree.map(lambda a: a.astype(dtype), params)
-    x = patchify(params, cfg, video.astype(dtype))  # (B, T*N, D)
-
-    cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.width)).astype(dtype)
-    x = jnp.concatenate([cls, x], axis=1)
+    x_p = patchify(params, cfg, video.astype(dtype))  # (B, T*N, D)
+    x_cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.width)).astype(dtype)
 
     pos_spatial = jnp.tile(params["pos_embed"][:, 1:, :], (1, t, 1))  # (1, T*N, D)
     pos_temporal = jnp.repeat(params["temporal_embed"][:, :t, :], n, axis=1)
-    pos = jnp.concatenate(
-        [params["pos_embed"][:, :1, :], pos_spatial + pos_temporal], axis=1
-    )
-    x = x + pos.astype(dtype)
-    x = layer_norm(params["ln_pre"], x, cfg.ln_eps)
+    x_p = x_p + (pos_spatial + pos_temporal).astype(dtype)
+    x_cls = x_cls + params["pos_embed"][:, :1, :].astype(dtype)
+    x_cls = layer_norm(params["ln_pre"], x_cls, cfg.ln_eps)
+    x_p = layer_norm(params["ln_pre"], x_p, cfg.ln_eps)
 
     block = _block
     if use_remat:
@@ -236,7 +316,8 @@ def spacetime_forward(
     def body(x, blk):
         return block(blk, x, cfg, t, n), None
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    (x_cls, x_p), _ = jax.lax.scan(body, (x_cls, x_p), params["blocks"])
 
+    x = jnp.concatenate([x_cls, x_p], axis=1)
     x = layer_norm(params["norm"], x.astype(jnp.float32), cfg.ln_eps)
     return x[:, 0], x

@@ -1,0 +1,183 @@
+"""Pallas divided space-time attention, zero HBM transposes.
+
+The profiled bottleneck of the TimeSformer backbone on TPU is not the
+attention FLOPs (tiny) but the data movement around them: head-major
+transposes and grouped reshapes materialise the (B, S, D) activations in
+HBM several times per block, costing ~2x the MLP time (see bench notes in
+git history). These kernels consume the *packed* qkv activation exactly
+as the qkv matmul produces it — (B, T, N, 3D) — and do all head
+splitting, CLS concatenation, softmax and value contraction in VMEM:
+
+- spatial mode: grid (B, T); one frame's (N, 3D) qkv tile per program;
+  per head: (N, dh) x (N+1, dh) attention with the frame-broadcast CLS
+  key/value prepended (reference semantics, model/LaviLa.py:254-270).
+- temporal mode: grid (B, N/Nb); a (T, Nb, 3D) patch-tube tile per
+  program; per head: (Nb, T, dh) x (Nb, T+1, dh) batched attention.
+
+HBM traffic per attention: read qkv once, write the (B, T, N, D) output
+once. The CLS *query* row (which attends over the full 1+T*N sequence)
+is computed by the caller in plain XLA — it is one query per head.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["divided_patch_attention"]
+
+
+def _merge_cls_softmax(logits_patch, logit_cls, v, cv, dtype):
+    """softmax over [cls | patch] columns without materialising a concat.
+
+    logits_patch (..., Q, K) f32, logit_cls (..., Q, 1) f32,
+    v (..., K, dh), cv (..., 1, dh) -> (..., Q, dh) f32.
+    """
+    m = jnp.maximum(jnp.max(logits_patch, axis=-1, keepdims=True), logit_cls)
+    e_p = jnp.exp(logits_patch - m)
+    e_c = jnp.exp(logit_cls - m)
+    denom = jnp.sum(e_p, axis=-1, keepdims=True) + e_c
+    out = jax.lax.dot_general(
+        e_p.astype(dtype),
+        v,
+        (((e_p.ndim - 1,), (v.ndim - 2,)), (tuple(range(e_p.ndim - 2)),) * 2),
+        preferred_element_type=jnp.float32,
+    )
+    out = out + e_c * cv.astype(jnp.float32)
+    return out / denom
+
+
+def _spatial_kernel(qkv_ref, clsk_ref, clsv_ref, o_ref, *, heads, dh, scale):
+    tile = qkv_ref[0, 0]  # (N, 3D)
+    d = heads * dh
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = tile[:, sl]
+        k = tile[:, d + h * dh : d + (h + 1) * dh]
+        v = tile[:, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+        ck = clsk_ref[0, :, sl]  # (1, dh)
+        cv = clsv_ref[0, :, sl]
+        # scale applied to the f32 logits (== scaling q, softmax-invariant)
+        logits = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (N, N)
+        # single-column dot lowered as multiply-reduce (Mosaic rejects a
+        # (N, 1) dot_general output on this toolchain)
+        logit_cls = scale * jnp.sum(
+            (q * ck).astype(jnp.float32), axis=-1, keepdims=True
+        )  # (N, 1)
+        out = _merge_cls_softmax(logits, logit_cls, v, cv, tile.dtype)
+        o_ref[0, 0, :, sl] = out.astype(o_ref.dtype)
+
+
+def _temporal_kernel(qkv_ref, clsk_ref, clsv_ref, o_ref, *, heads, dh, scale):
+    """Per-patch attention over T frames, natural packed-qkv layout.
+
+    Tile (T, Nb, 3D) exactly as the qkv matmul emits it — NO pre/post
+    transposes in HBM (two per layer cost more than the whole attention).
+    T is tiny (4-16), so the T x T' contraction runs on the VPU. Mosaic
+    constraints shape the code: lane-axis reductions of 3-D vectors and
+    sub-128-lane intermediates mis-compile, so all rows are flattened to
+    2-D (T*Nb, dh), each key frame produces one logits column via a 2-D
+    lane-reduce, and columns are concatenated (fresh values, aligned).
+    """
+    tile = qkv_ref[0]  # (T, Nb, 3D)
+    d = heads * dh
+    t, nb = tile.shape[0], tile.shape[1]
+
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q2 = tile[:, :, sl].reshape(t * nb, dh)  # (T*Nb, dh) — free reshape
+        ck = clsk_ref[0, :, sl]  # (1, dh)
+        cv = clsv_ref[0, :, sl].astype(jnp.float32)  # (1, dh)
+
+        # logits column j: all query rows vs key frame j (cls = column 0)
+        cols = [jnp.sum((q2 * ck).astype(jnp.float32), axis=-1, keepdims=True)]
+        for t2 in range(t):
+            k_t = jnp.tile(tile[t2, :, d + h * dh : d + (h + 1) * dh], (t, 1))
+            cols.append(
+                jnp.sum((q2 * k_t).astype(jnp.float32), axis=-1, keepdims=True)
+            )
+        logits = scale * jnp.concatenate(cols, axis=-1)  # (T*Nb, T+1)
+
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (T*Nb, T+1)
+
+        out = p[:, 0:1] * cv  # (T*Nb, dh) f32
+        for t2 in range(t):
+            v_t = jnp.tile(tile[t2, :, 2 * d + h * dh : 2 * d + (h + 1) * dh], (t, 1))
+            out = out + p[:, t2 + 1 : t2 + 2] * v_t.astype(jnp.float32)
+        o_ref[0, :, :, sl] = out.reshape(t, nb, dh).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mode", "heads", "patch_block", "interpret")
+)
+def divided_patch_attention(
+    qkv,
+    cls_k,
+    cls_v,
+    *,
+    mode: str,
+    heads: int,
+    patch_block: int = 128,
+    interpret: bool = False,
+):
+    """Patch-token divided attention on packed qkv.
+
+    Args:
+        qkv: (B, T, N, 3D) packed [q|k|v] activations (post qkv matmul,
+            un-scaled q).
+        cls_k / cls_v: (B, D) the CLS token's key/value rows.
+        mode: 'space' (attend within frame) or 'time' (within patch tube).
+        heads: number of attention heads (dh = D // heads).
+    Returns:
+        (B, T, N, D) attention output for the patch tokens.
+    """
+    b, t, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // heads
+    scale = dh**-0.5
+
+    if mode == "space":
+        kernel = functools.partial(_spatial_kernel, heads=heads, dh=dh, scale=scale)
+        grid = (b, t)
+        qkv_spec = pl.BlockSpec((1, 1, n, d3), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, 1, n, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+        cls_spec = pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[qkv_spec, cls_spec, cls_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((b, t, n, d), qkv.dtype),
+            interpret=interpret,
+        )(qkv, cls_k[:, None, :], cls_v[:, None, :])
+
+    # temporal: natural layout, same tiling scheme as spatial but blocked
+    # over patches instead of frames.
+    nb = min(patch_block, n)
+    while n % nb:
+        nb -= 1
+    kernel = functools.partial(_temporal_kernel, heads=heads, dh=dh, scale=scale)
+    grid = (b, n // nb)
+    qkv_spec = pl.BlockSpec(
+        (1, t, nb, d3), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, t, nb, d), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
+    )
+    cls_spec = pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qkv_spec, cls_spec, cls_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, n, d), qkv.dtype),
+        interpret=interpret,
+    )(qkv, cls_k[:, None, :], cls_v[:, None, :])
