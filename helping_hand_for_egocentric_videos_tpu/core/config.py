@@ -69,6 +69,28 @@ class ExperimentConfig:
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
 
+    @classmethod
+    def from_json(cls, path_or_str: str) -> "ExperimentConfig":
+        """Load from a JSON file path or JSON string (replaces the legacy
+        EgoVLP ConfigParser, utils/parse_config.py)."""
+        import os
+
+        if os.path.exists(path_or_str):
+            with open(path_or_str) as f:
+                d = json.load(f)
+        else:
+            d = json.loads(path_or_str)
+        cfg = cls()
+        for section, sub in d.items():
+            if isinstance(sub, dict) and hasattr(cfg, section):
+                obj = getattr(cfg, section)
+                for k, v in sub.items():
+                    if hasattr(obj, k):
+                        setattr(obj, k, v)
+            elif hasattr(cfg, section):
+                setattr(cfg, section, sub)
+        return cfg
+
 
 def _coerce(val: str, current: Any):
     if isinstance(current, bool):

@@ -9,6 +9,7 @@ from .retrieval import (
 )
 from .sim import compute_tv_accuracy, sim_matrix
 from .classification import confusion_matrix, mean_class_accuracy, topk_accuracy
+from .charades import charades_map, multi_label_map, oscc_accuracy
 
 __all__ = [
     "calculate_DCG",
@@ -26,4 +27,7 @@ __all__ = [
     "confusion_matrix",
     "mean_class_accuracy",
     "topk_accuracy",
+    "charades_map",
+    "multi_label_map",
+    "oscc_accuracy",
 ]

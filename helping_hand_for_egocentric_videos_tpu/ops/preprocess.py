@@ -28,6 +28,7 @@ __all__ = [
     "LAVILA_STD",
     "resize_normalize",
     "shortside_centercrop_normalize",
+    "spatial_crops",
 ]
 
 LAVILA_MEAN = (108.3272985 / 255, 116.7460125 / 255, 104.09373615 / 255)
@@ -82,3 +83,44 @@ def shortside_centercrop_normalize(
     if short != res:
         x = jax.image.resize(x, (*lead, res, res, c), method="bilinear")
     return _norm(x, mean, std)
+
+
+def spatial_crops(
+    video_u8,
+    crop: int = 224,
+    num_crops: int = 1,
+    short: int = 224,
+    mean=LAVILA_MEAN,
+    std=LAVILA_STD,
+    dtype=jnp.float32,
+):
+    """LaviLa-style SpatialCrop: shorter-side resize then 1 (center) or 3
+    (left/center/right along the longer axis) crops.
+
+    Matches data_loader/lavila_transforms.py:121-169 (used by the EGTEA
+    harness; the paper protocol uses num_crops=1). Returns
+    (num_crops, ..., crop, crop, C) normalised float.
+    """
+    *lead, h, w, c = video_u8.shape
+    x = video_u8.astype(dtype) / 255.0
+    if h <= w:
+        nh, nw = short, max(int(round(w * short / h)), short)
+    else:
+        nh, nw = max(int(round(h * short / w)), short), short
+    x = jax.image.resize(x, (*lead, nh, nw, c), method="bilinear")
+
+    def crop_at(top, left):
+        return x[..., top : top + crop, left : left + crop, :]
+
+    if num_crops == 1:
+        offs = [((nh - crop) // 2, (nw - crop) // 2)]
+    elif num_crops == 3:
+        if nw >= nh:  # wide: left / center / right
+            offs = [((nh - crop) // 2, 0), ((nh - crop) // 2, (nw - crop) // 2), ((nh - crop) // 2, nw - crop)]
+        else:  # tall: top / center / bottom
+            offs = [(0, (nw - crop) // 2), ((nh - crop) // 2, (nw - crop) // 2), (nh - crop, (nw - crop) // 2)]
+    else:
+        raise ValueError("num_crops must be 1 or 3")
+
+    crops = jnp.stack([crop_at(t, l) for t, l in offs])
+    return _norm(crops, mean, std)

@@ -1,0 +1,75 @@
+"""Device-preprocess + auxiliary-metric tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from helping_hand_for_egocentric_videos_tpu.ops.preprocess import (
+    LAVILA_MEAN,
+    LAVILA_STD,
+    resize_normalize,
+    shortside_centercrop_normalize,
+    spatial_crops,
+)
+from helping_hand_for_egocentric_videos_tpu.metrics import (
+    charades_map,
+    multi_label_map,
+    oscc_accuracy,
+)
+from helping_hand_for_egocentric_videos_tpu.core.config import ExperimentConfig
+
+
+def test_resize_normalize_identity_res(rng):
+    v = (rng.random((2, 3, 224, 224, 3)) * 255).astype(np.uint8)
+    out = np.asarray(resize_normalize(jnp.asarray(v)))
+    assert out.shape == v.shape
+    want = (v.astype(np.float32) / 255 - np.array(LAVILA_MEAN)) / np.array(LAVILA_STD)
+    np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_resize_normalize_squash(rng):
+    v = (rng.random((1, 2, 32, 48, 3)) * 255).astype(np.uint8)
+    out = np.asarray(resize_normalize(jnp.asarray(v), res=16))
+    assert out.shape == (1, 2, 16, 16, 3)
+    assert np.isfinite(out).all()
+
+
+def test_shortside_centercrop(rng):
+    v = (rng.random((2, 100, 160, 3)) * 255).astype(np.uint8)
+    out = np.asarray(shortside_centercrop_normalize(jnp.asarray(v), short=64, res=56))
+    assert out.shape == (2, 56, 56, 3)
+
+
+def test_spatial_crops(rng):
+    v = (rng.random((2, 60, 100, 3)) * 255).astype(np.uint8)
+    c1 = np.asarray(spatial_crops(jnp.asarray(v), crop=56, num_crops=1, short=56))
+    assert c1.shape == (1, 2, 56, 56, 3)
+    c3 = np.asarray(spatial_crops(jnp.asarray(v), crop=56, num_crops=3, short=56))
+    assert c3.shape == (3, 2, 56, 56, 3)
+    # center crop of the 3-crop equals the single crop
+    np.testing.assert_allclose(c3[1], c1[0], atol=1e-6)
+
+
+def test_charades_map():
+    sub = np.array([[0.9, 0.1], [0.2, 0.8], [0.6, 0.3], [0.1, 0.2]])
+    gt = np.array([[1, 0], [0, 1], [1, 0], [0, 0]])
+    m = charades_map(sub, gt)
+    assert 0 <= m <= 1
+    # perfect ranking -> AP 1 per class
+    perfect = gt.astype(float) + 1e-3
+    assert abs(charades_map(perfect, gt) - 1.0) < 1e-6
+    _, _, per_class = multi_label_map(perfect, gt)
+    np.testing.assert_allclose(per_class, [1.0, 1.0])
+
+
+def test_oscc_accuracy():
+    preds = np.array([[0.9, 0.1], [0.2, 0.8], [0.7, 0.3]])
+    np.testing.assert_allclose(oscc_accuracy(preds, np.array([0, 1, 1])), 100 * 2 / 3)
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = ExperimentConfig(name="abc")
+    cfg.data.batch_size = 7
+    p = tmp_path / "c.json"
+    p.write_text(cfg.to_json())
+    back = ExperimentConfig.from_json(str(p))
+    assert back.name == "abc" and back.data.batch_size == 7
