@@ -75,44 +75,34 @@ def _spatial_kernel(qkv_ref, clsk_ref, clsv_ref, o_ref, *, heads, dh, scale):
 
 
 def _temporal_kernel(qkv_ref, clsk_ref, clsv_ref, o_ref, *, heads, dh, scale):
-    """Per-patch attention over T frames, natural packed-qkv layout.
+    """Per-patch attention over T frames on the natural packed-qkv tile.
 
-    Tile (T, Nb, 3D) exactly as the qkv matmul emits it — NO pre/post
-    transposes in HBM (two per layer cost more than the whole attention).
-    T is tiny (4-16), so the T x T' contraction runs on the VPU. Mosaic
-    constraints shape the code: lane-axis reductions of 3-D vectors and
-    sub-128-lane intermediates mis-compile, so all rows are flattened to
-    2-D (T*Nb, dh), each key frame produces one logits column via a 2-D
-    lane-reduce, and columns are concatenated (fresh values, aligned).
+    Tile (T, Nb, 3D) exactly as the qkv matmul emits it — no pre/post
+    transposes in HBM (measured: two HBM transposes per layer cost more
+    than this whole attention). Per head the patch tube is transposed to
+    (Nb, T, dh) *in VMEM* and the T x T' contraction runs as a batched
+    MXU dot; the CLS column is merged via streaming-softmax algebra
+    instead of a concat (Mosaic rejects concat of lane-offset slices).
+    Benchmarked faster than both a head-major pre-transposed variant and
+    a transpose-free VPU multiply-reduce variant (see git history).
     """
     tile = qkv_ref[0]  # (T, Nb, 3D)
     d = heads * dh
-    t, nb = tile.shape[0], tile.shape[1]
-
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
-        q2 = tile[:, :, sl].reshape(t * nb, dh)  # (T*Nb, dh) — free reshape
+        q = tile[:, :, sl].transpose(1, 0, 2)  # (Nb, T, dh) — VMEM transpose
+        k = tile[:, :, d + h * dh : d + (h + 1) * dh].transpose(1, 0, 2)
+        v = tile[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh].transpose(1, 0, 2)
         ck = clsk_ref[0, :, sl]  # (1, dh)
-        cv = clsv_ref[0, :, sl].astype(jnp.float32)  # (1, dh)
-
-        # logits column j: all query rows vs key frame j (cls = column 0)
-        cols = [jnp.sum((q2 * ck).astype(jnp.float32), axis=-1, keepdims=True)]
-        for t2 in range(t):
-            k_t = jnp.tile(tile[t2, :, d + h * dh : d + (h + 1) * dh], (t, 1))
-            cols.append(
-                jnp.sum((q2 * k_t).astype(jnp.float32), axis=-1, keepdims=True)
-            )
-        logits = scale * jnp.concatenate(cols, axis=-1)  # (T*Nb, T+1)
-
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # (T*Nb, T+1)
-
-        out = p[:, 0:1] * cv  # (T*Nb, dh) f32
-        for t2 in range(t):
-            v_t = jnp.tile(tile[t2, :, 2 * d + h * dh : 2 * d + (h + 1) * dh], (t, 1))
-            out = out + p[:, t2 + 1 : t2 + 2] * v_t.astype(jnp.float32)
-        o_ref[0, :, :, sl] = out.reshape(t, nb, dh).astype(o_ref.dtype)
+        cv = clsv_ref[0, :, sl][None]  # (1, 1, dh)
+        logits = scale * jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )  # (Nb, T, T)
+        logit_cls = scale * jnp.sum(
+            (q * ck[None]).astype(jnp.float32), axis=-1, keepdims=True
+        )  # (Nb, T, 1)
+        out = _merge_cls_softmax(logits, logit_cls, v, cv, tile.dtype)
+        o_ref[0, :, :, sl] = out.transpose(1, 0, 2).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -160,8 +150,9 @@ def divided_patch_attention(
         )(qkv, cls_k[:, None, :], cls_v[:, None, :])
 
     # temporal: natural layout, same tiling scheme as spatial but blocked
-    # over patches instead of frames.
-    nb = min(patch_block, n)
+    # over patches instead of frames. VMEM per program scales with t*nb,
+    # so long clips shrink the patch block.
+    nb = min(patch_block, 32, n)  # per-head VMEM temporaries scale with t*nb
     while n % nb:
         nb -= 1
     kernel = functools.partial(_temporal_kernel, heads=heads, dh=dh, scale=scale)
