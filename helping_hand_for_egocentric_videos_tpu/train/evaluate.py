@@ -107,20 +107,46 @@ def _cos(a, b):
     return np.asarray(sim_matrix(jnp.asarray(a), jnp.asarray(b)))
 
 
-def run_egomcq(model: EvalModel, dataset, limit: int | None = None, progress=None):
-    """-> {'Intra-video': %, 'Inter-video': %} (+ raw sims)."""
+def run_egomcq(
+    model: EvalModel,
+    dataset,
+    limit: int | None = None,
+    progress=None,
+    items_per_batch: int = 4,
+):
+    """-> {'Intra-video': %, 'Inter-video': %}.
+
+    The reference iterates bs=1 (one MCQ item = 5 candidate clips per
+    step, run/test_EgoMCQ.py:56-58); here ``items_per_batch`` items are
+    fused into one device batch of 5*K clips to amortise dispatch.
+    """
     preds, gts, types = [], [], []
     n = len(dataset) if limit is None else min(limit, len(dataset))
+    buf = []
+
+    def flush():
+        if not buf:
+            return
+        k = len(buf)
+        videos = np.concatenate([it["video"] for it in buf])  # (5K, T, H, W, C)
+        texts = [it["text"] for it in buf]
+        video_embeds, _ = model.embed_video(videos)
+        text_embeds = model.embed_text(texts)  # (K, E)
+        n_opts = buf[0]["video"].shape[0]
+        for j, it in enumerate(buf):
+            sim = _cos(text_embeds[j : j + 1], video_embeds[j * n_opts : (j + 1) * n_opts])
+            preds.append(sim[0])
+            gts.append(it["correct"])
+            types.append(it["type"])
+        buf.clear()
+
     for i in range(n):
-        item = dataset[i]
-        text_embed = model.embed_text([item["text"]])
-        video_embeds, _ = model.embed_video(item["video"])  # (5, T, H, W, C)
-        sim = _cos(text_embed, video_embeds)  # (1, 5)
-        preds.append(sim[0])
-        gts.append(item["correct"])
-        types.append(item["type"])
+        buf.append(dataset[i])
+        if len(buf) == items_per_batch:
+            flush()
         if progress and i % 50 == 0:
             progress(i, n)
+    flush()
     preds = np.stack(preds)
     metrics = egomcq_accuracy_metrics(preds, np.asarray(gts), np.asarray(types))
     metrics["n_items"] = n
