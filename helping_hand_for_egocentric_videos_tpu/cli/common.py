@@ -5,9 +5,33 @@ from __future__ import annotations
 import json
 
 
+def maybe_init_distributed():
+    """Initialize jax.distributed on multi-host pods.
+
+    Gated on the standard coordinator env vars (set by the pod launcher);
+    single-host runs skip it. Replaces torch.distributed.init_process_group
+    (run/train.py:374-381)."""
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"
+        )
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", os.environ.get("NUM_PROCESSES", 1))),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", os.environ.get("PROCESS_ID", 0))),
+        )
+
+
 def print_env():
     import jax
 
+    maybe_init_distributed()
     print(
         f"jax {jax.__version__} | backend={jax.default_backend()} | "
         f"devices={len(jax.devices())} | hosts={jax.process_count()}",

@@ -80,6 +80,7 @@ class EgoClipConfig:
     frame_sample: str = "uniform"  # 'uniform' | 'rand'
     loading: str = "lax"  # 'lax' -> black frames on failure
     neg_param: bool = True  # scene-aware hard negatives
+    crop_with_boxes: bool = False  # box-union crop aug (off upstream too)
     decode_res: tuple = (256, 256)  # decoded frame size fed to the device
     seed: int = 0
 
@@ -289,7 +290,38 @@ class EgoClipDataset:
         _, nouns = self._extract_nouns(sample, caption)
         boxes, image_size = self._load_boxes(sample)
         frames, seconds, valid = self._get_frames(paths, secs)
-        boxes = self._scale_boxes(boxes, image_size, self.cfg.input_res)
+        cropped = False
+        if self.cfg.crop_with_boxes and boxes.sum() != 0:
+            from .box_crop import apply_crop_to_boxes, box_union_crop
+
+            # map boxes from original-video pixels into the decoded frame,
+            # crop around their union, then rescale into the model square
+            h_im, w_im = image_size
+            dec_boxes = boxes.copy()
+            if h_im and w_im:
+                dec_boxes[..., 0::2] *= frames.shape[2] / w_im
+                dec_boxes[..., 1::2] *= frames.shape[1] / h_im
+            frames2, crop_params = box_union_crop(frames, dec_boxes)
+            if crop_params.sum() >= 1:
+                # host-resize back to the fixed decode shape (batch shapes
+                # must stay static for the device preprocess)
+                from PIL import Image
+
+                h_d, w_d = self.cfg.decode_res
+                frames = np.stack(
+                    [
+                        np.asarray(
+                            Image.fromarray(f).resize((w_d, h_d), Image.BILINEAR)
+                        )
+                        for f in frames2
+                    ]
+                )
+                boxes = apply_crop_to_boxes(
+                    dec_boxes, crop_params, resize_target=self.cfg.input_res
+                )
+                cropped = True
+        if not cropped:
+            boxes = self._scale_boxes(boxes, image_size, self.cfg.input_res)
         return {
             "video": frames,
             "text": caption,

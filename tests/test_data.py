@@ -222,3 +222,43 @@ def test_sharded_sampler_epoch_shuffle():
     b = np.concatenate(list(s))
     assert not np.array_equal(a, b)
     assert sorted(a.tolist()) == sorted(b.tolist())
+
+
+def test_box_union_crop():
+    from helping_hand_for_egocentric_videos_tpu.data.box_crop import (
+        apply_crop_to_boxes,
+        box_union_crop,
+    )
+
+    frames = np.arange(2 * 64 * 96 * 3, dtype=np.uint8).reshape(2, 64, 96, 3)
+    boxes = np.zeros((2, 2, 4), np.float32)
+    boxes[0, 0] = [30, 20, 60, 50]
+    out, params = box_union_crop(frames, boxes)
+    assert params.sum() > 0
+    y1, x1, ch, cw = params.astype(int)
+    assert out.shape == (2, ch, cw, 3)
+    np.testing.assert_array_equal(out[0], frames[0, y1 : y1 + ch, x1 : x1 + cw])
+    b2 = apply_crop_to_boxes(boxes, params, resize_target=224)
+    assert (b2 >= 0).all() and (b2 <= 224).all()
+
+    # degenerate boxes -> no crop
+    out2, p2 = box_union_crop(frames, np.zeros((2, 2, 4), np.float32))
+    assert p2.sum() == 0 and out2.shape == frames.shape
+
+
+def test_egoclip_crop_with_boxes(egoclip_fixture):
+    from helping_hand_for_egocentric_videos_tpu.data.egoclip import (
+        EgoClipConfig,
+        EgoClipDataset,
+    )
+
+    meta, data = egoclip_fixture
+    ds = EgoClipDataset(
+        EgoClipConfig(
+            meta_dir=meta, data_dir=data, split="train", decode_res=(32, 48),
+            crop_with_boxes=True, neg_param=False,
+        )
+    )
+    item = ds[0]
+    assert item["video"].shape == (4, 32, 48, 3)  # fixed shape maintained
+    assert (item["boxes"] <= 224).all() and (item["boxes"] >= 0).all()
