@@ -226,8 +226,9 @@ def pretrain(
                     )
                     res = run_egomcq(eval_model, val_ds, limit=eval_limit or 1000)
                     val_logger.log(step, {k: v for k, v in res.items()}, prefix="egomcq/")
-                    if res["Inter-video"] > best_acc:
-                        best_acc = res["Inter-video"]
+                    inter = res.get("Inter-video", 0.0)
+                    if inter > best_acc:
+                        best_acc = inter
                         save_checkpoint(
                             os.path.join(exp_dir, "best"),
                             step,

@@ -239,3 +239,30 @@ def test_config_overrides():
     assert cfg.optim.lr == 0.001
     assert cfg.name == "x"
     assert cfg.model.pred_traj is False
+
+
+def test_pretrain_resume(egoclip_fixture, tmp_path):
+    """Resume restores step/best-acc from the latest runtime checkpoint
+    (run/train.py:523-546 semantics)."""
+    from helping_hand_for_egocentric_videos_tpu.train.pretrain import pretrain
+
+    meta, data = egoclip_fixture
+    cfg = ExperimentConfig(name="resume", output_dir=str(tmp_path / "runs"))
+    cfg.data.meta_dir = meta
+    cfg.data.data_dir = data
+    cfg.data.batch_size = 2
+    cfg.data.num_frames = 4
+    cfg.data.input_res = RES
+    cfg.data.num_workers = 1
+    cfg.optim.eval_freq = 100
+    cfg.optim.runtime_save_iter = 2
+    cfg.optim.epochs = 1
+    cfg.parallel.backbone_dtype = "float32"
+    cfg.parallel.num_devices = 2
+
+    state, _ = pretrain(cfg, max_steps=2, eval_limit=1, models=tiny_models())
+    assert int(state.step) == 2
+    # second run resumes from step 2 and continues to 4
+    state2, _ = pretrain(cfg, max_steps=4, eval_limit=1, models=tiny_models())
+    assert int(state2.step) == 4
+    assert latest_step(str(tmp_path / "runs" / "resume" / "checkpoints")) == 4
