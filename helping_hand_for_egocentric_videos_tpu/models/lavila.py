@@ -61,6 +61,17 @@ def timesformer_base_config(num_frames: int = 4, project_embed_dim: int = 256) -
     )
 
 
+def timesformer_tiny_config(num_frames: int = 4, project_embed_dim: int = 64) -> LavilaConfig:
+    """Miniature config for smoke tests / demos (no released weights)."""
+    return LavilaConfig(
+        visual=SpaceTimeConfig(
+            img_size=224, patch_size=32, width=128, depth=2, heads=4, num_frames=num_frames
+        ),
+        text=TextConfig(width=64, heads=4, layers=2, embed_dim=project_embed_dim),
+        embed_dim=project_embed_dim,
+    )
+
+
 def init_lavila_params(key, cfg: LavilaConfig):
     kv, kt, ki, kp = jax.random.split(key, 4)
     return {

@@ -44,11 +44,13 @@ __all__ = ["build_models", "pretrain"]
 
 def build_models(cfg: ExperimentConfig, rng_seed: int = 0):
     """-> (lavila_cfg, backbone_params, dec_cfg, decoder_params)."""
-    factory = (
-        timesformer_large_config
-        if cfg.model.backbone == "timesformer_large"
-        else timesformer_base_config
-    )
+    from ..models.lavila import timesformer_tiny_config
+
+    factory = {
+        "timesformer_large": timesformer_large_config,
+        "timesformer_base": timesformer_base_config,
+        "timesformer_tiny": timesformer_tiny_config,
+    }[cfg.model.backbone]
     lavila_cfg = factory(
         num_frames=cfg.data.num_frames, project_embed_dim=cfg.model.project_embed_dim
     )
