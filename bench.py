@@ -22,10 +22,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 REFERENCE_CLIPS_PER_SEC = 30.0
 BATCH = 8
 FRAMES = 16
 STEPS = 5
+# HH_BENCH_INT8=1 benchmarks the int8-quantized visual tower (+~22%;
+# retrieval parity on real weights pending — see TODO.md)
+INT8 = os.environ.get("HH_BENCH_INT8", "0") == "1"
 
 
 def main():
@@ -44,6 +49,12 @@ def main():
     key = jax.random.PRNGKey(0)
     backbone = init_lavila_params(key, cfg)
     decoder = init_decoder_params(key, dec_cfg)
+    if INT8:
+        from helping_hand_for_egocentric_videos_tpu.models.quant import (
+            quantize_lavila_params,
+        )
+
+        backbone = quantize_lavila_params(backbone)
 
     n = cfg.visual.patches_per_frame
 

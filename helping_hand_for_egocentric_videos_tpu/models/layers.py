@@ -39,6 +39,10 @@ def linear_init(key, d_in: int, d_out: int, *, bias: bool = True, std: float | N
 
 
 def linear(p, x):
+    if "w_q" in p:  # int8-quantized weights (models/quant.py)
+        from .quant import int8_linear
+
+        return int8_linear(p, x)
     y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]
@@ -91,11 +95,14 @@ def multi_head_attention(
     v_in,
     num_heads: int,
     mask=None,
+    return_probs: bool = False,
 ):
     """Standard MHA matching torch.nn.MultiheadAttention semantics.
 
     q_in/k_in/v_in: (B, Nq/Nk, D). ``mask``: additive float mask broadcastable
-    to (B, H, Nq, Nk) (use -inf/-1e9 for disallowed).
+    to (B, H, Nq, Nk) (use -inf/-1e9 for disallowed). With ``return_probs``
+    also returns the head-averaged attention map (B, Nq, Nk) — torch's
+    default averaged weights, used by the reference's visualisations.
     """
     h = num_heads
     q = _split_heads(linear(p["wq"], q_in), h)
@@ -107,7 +114,10 @@ def multi_head_attention(
         logits = logits + mask
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
-    return linear(p["wo"], _merge_heads(out))
+    out = linear(p["wo"], _merge_heads(out))
+    if return_probs:
+        return out, jnp.mean(probs, axis=1)
+    return out
 
 
 def dropout(rng, x, rate: float, deterministic: bool):

@@ -152,25 +152,40 @@ def _bbox_mlp(params, x):
     return linear(params["bbox_mlp"][2], h)
 
 
-def _decoder_layer(p, tgt, memory, query_pos, pos, cfg: DecoderConfig, rng, deterministic):
-    """Pre-norm, self-attention-first layer (tfm_decoder.py:430-461)."""
+def _decoder_layer(
+    p, tgt, memory, query_pos, pos, cfg: DecoderConfig, rng, deterministic,
+    return_attn: bool = False,
+):
+    """Pre-norm, self-attention-first layer (tfm_decoder.py:430-461).
+
+    With ``return_attn``, also returns the (head-averaged) self and cross
+    attention maps, mirroring the reference's layer outputs
+    (tfm_decoder.py:433-441)."""
     eps = cfg.ln_eps
     rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
 
     t2 = layer_norm(p["norm1"], tgt, eps)
     qk = t2 + query_pos
-    sa = multi_head_attention(p["self_attn"], qk, qk, t2, cfg.nhead)
+    sa = multi_head_attention(
+        p["self_attn"], qk, qk, t2, cfg.nhead, return_probs=return_attn
+    )
+    sa, self_attn = sa if return_attn else (sa, None)
     tgt = tgt + dropout(rngs[0], sa, cfg.dropout, deterministic)
 
     t2 = layer_norm(p["norm2"], tgt, eps)
     ca = multi_head_attention(
-        p["cross_attn"], t2 + query_pos, memory + pos, memory, cfg.nhead
+        p["cross_attn"], t2 + query_pos, memory + pos, memory, cfg.nhead,
+        return_probs=return_attn,
     )
+    ca, cross_attn = ca if return_attn else (ca, None)
     tgt = tgt + dropout(rngs[1], ca, cfg.dropout, deterministic)
 
     t2 = layer_norm(p["norm3"], tgt, eps)
     ff = linear(p["linear2"], jax.nn.relu(linear(p["linear1"], t2)))
-    return tgt + dropout(rngs[2], ff, cfg.dropout, deterministic)
+    out = tgt + dropout(rngs[2], ff, cfg.dropout, deterministic)
+    if return_attn:
+        return out, cross_attn, self_attn
+    return out
 
 
 @dataclass
@@ -180,6 +195,8 @@ class DecoderOutput:
     aux_pred_logits: jax.Array  # (L-1, B', Q', C+1)
     aux_pred_boxes: jax.Array  # (L-1, B', Q', 4)
     hs: jax.Array  # (L, B, Q, D) normed intermediate states
+    cross_attn: jax.Array | None = None  # (L, B, Q, T*N) head-avg maps
+    self_attn: jax.Array | None = None  # (L, B, Q, Q)
 
 
 def decoder_forward(
@@ -189,6 +206,7 @@ def decoder_forward(
     *,
     rng=None,
     deterministic: bool = True,
+    return_attn: bool = False,
 ) -> DecoderOutput:
     """Run the object decoder.
 
@@ -222,12 +240,19 @@ def decoder_forward(
     num_layers = cfg.num_layers
     rngs = jax.random.split(rng, num_layers) if rng is not None else [None] * num_layers
 
-    hs = []
+    hs, cross_maps, self_maps = [], [], []
     for i in range(num_layers):
         layer_p = jax.tree.map(lambda a, i=i: a[i], params["layers"])
-        tgt = _decoder_layer(
-            layer_p, tgt, memory, query_pos, pos, cfg, rngs[i], deterministic
+        out_i = _decoder_layer(
+            layer_p, tgt, memory, query_pos, pos, cfg, rngs[i], deterministic,
+            return_attn=return_attn,
         )
+        if return_attn:
+            tgt, ca, sa = out_i
+            cross_maps.append(ca)
+            self_maps.append(sa)
+        else:
+            tgt = out_i
         hs.append(layer_norm(params["decoder_norm"], tgt, cfg.ln_eps))
     hs = jnp.stack(hs)  # (L, B, Q, D)
 
@@ -272,4 +297,6 @@ def decoder_forward(
         aux_pred_logits=outputs_class[:-1],
         aux_pred_boxes=outputs_coord[:-1],
         hs=hs,
+        cross_attn=jnp.stack(cross_maps) if return_attn else None,
+        self_attn=jnp.stack(self_maps) if return_attn else None,
     )

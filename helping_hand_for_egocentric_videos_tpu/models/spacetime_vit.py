@@ -298,7 +298,15 @@ def spacetime_forward(
     b, t = video.shape[:2]
     n = cfg.patches_per_frame
 
-    params = jax.tree.map(lambda a: a.astype(dtype), params)
+    def cast(path, a):
+        # int8-quantized weights and their scales keep their dtypes
+        if not jnp.issubdtype(a.dtype, jnp.floating):
+            return a
+        if any(getattr(p, "key", None) == "s_w" for p in path):
+            return a
+        return a.astype(dtype)
+
+    params = jax.tree_util.tree_map_with_path(cast, params)
     x_p = patchify(params, cfg, video.astype(dtype))  # (B, T*N, D)
     x_cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.width)).astype(dtype)
 

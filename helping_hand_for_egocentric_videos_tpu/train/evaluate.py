@@ -54,8 +54,13 @@ class EvalModel:
     input_res: int = 224
     preprocess: str = "resize"  # 'resize' (squash) | 'shortside' (EGTEA)
     dtype: object = jnp.bfloat16
+    int8: bool = False  # quantize the visual tower (models/quant.py)
 
     def __post_init__(self):
+        if self.int8:
+            from ..models.quant import quantize_lavila_params
+
+            self.backbone_params = quantize_lavila_params(self.backbone_params)
         lcfg, dcfg = self.lavila_cfg, self.dec_cfg
 
         @jax.jit

@@ -229,3 +229,22 @@ def test_decoder_dropout_determinism(rng):
         params, cfg, feats, rng=jax.random.PRNGKey(0), deterministic=False
     )
     assert not np.allclose(np.asarray(a.pred_boxes), np.asarray(c.pred_boxes))
+
+
+def test_decoder_attention_maps(rng):
+    cfg = DecoderConfig(
+        d_model=32, nhead=4, num_layers=2, dim_feedforward=64, num_queries=5,
+        num_classes=4, feature_dim=48, num_frames=2, patches_per_frame=4,
+    )
+    params = init_decoder_params(jax.random.PRNGKey(9), cfg)
+    feats = jnp.asarray(rng.normal(size=(2, 2, 4, 48)).astype(np.float32))
+    out = decoder_forward(params, cfg, feats, return_attn=True)
+    assert out.cross_attn.shape == (2, 2, 5, 8)  # (L, B, Q, T*N)
+    assert out.self_attn.shape == (2, 2, 5, 5)
+    # rows are probability distributions
+    np.testing.assert_allclose(np.asarray(out.cross_attn).sum(-1), 1.0, atol=1e-5)
+    # boxes identical with/without attn collection
+    base = decoder_forward(params, cfg, feats)
+    np.testing.assert_allclose(
+        np.asarray(out.pred_boxes), np.asarray(base.pred_boxes), atol=1e-6
+    )
