@@ -165,6 +165,13 @@ def _var_attention_pallas(p, x_cls, x_p, t: int, n: int, heads: int, mode: str, 
     return linear(p["proj"], cls_out), linear(p["proj"], out_patch)
 
 
+def _kernel_friendly(n: int, d: int, heads: int) -> bool:
+    """Shapes the Mosaic kernels compile well for: full-lane tiles and
+    64-multiple head dims (see BENCH_NOTES.md 'landmines')."""
+    dh = d // heads
+    return dh % 64 == 0 and n % 8 == 0 and n >= 32
+
+
 def _var_attention_split(p, x_cls, x_p, t, n, heads, mode, backend):
     """Divided attention on the split (cls, patches) representation.
 
@@ -175,7 +182,7 @@ def _var_attention_split(p, x_cls, x_p, t, n, heads, mode, backend):
     """
     if backend == "pallas_interpret":  # CPU-testable kernel path
         return _var_attention_pallas(p, x_cls, x_p, t, n, heads, mode, interpret=True)
-    if _use_pallas(backend):
+    if _use_pallas(backend) and _kernel_friendly(n, x_p.shape[-1], heads):
         return _var_attention_pallas(p, x_cls, x_p, t, n, heads, mode)
     x = jnp.concatenate([x_cls, x_p], axis=1)
     out = _var_attention(p, x, t, n, heads, mode)

@@ -8,6 +8,14 @@ from .boxes import (
     l1_cost_matrix,
     masks_to_boxes,
 )
+from .lap import solve_lap, solve_lap_batch
+from .preprocess import (
+    LAVILA_MEAN,
+    LAVILA_STD,
+    resize_normalize,
+    shortside_centercrop_normalize,
+    spatial_crops,
+)
 
 __all__ = [
     "box_area",
@@ -18,4 +26,11 @@ __all__ = [
     "generalized_box_iou_elementwise",
     "l1_cost_matrix",
     "masks_to_boxes",
+    "solve_lap",
+    "solve_lap_batch",
+    "LAVILA_MEAN",
+    "LAVILA_STD",
+    "resize_normalize",
+    "shortside_centercrop_normalize",
+    "spatial_crops",
 ]
