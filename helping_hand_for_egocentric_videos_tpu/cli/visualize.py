@@ -46,14 +46,14 @@ def main(argv=None):
     frames, _ = read_clip_chunked(args.clip, args.start, args.end, clip_length=args.num_frames)
     _, pred_boxes = model.embed_video(frames[None])
     t = args.num_frames
-    boxes = np.asarray(box_cxcywh_to_xyxy(jnp.asarray(pred_boxes))) * args.__dict__.get("input_res", 224)
+    res = model.input_res
+    boxes = np.asarray(box_cxcywh_to_xyxy(jnp.asarray(pred_boxes))) * res
     boxes = boxes.reshape(t, -1, 4) if boxes.shape[0] == t else np.repeat(boxes, t, axis=0)
 
     os.makedirs(args.out_dir, exist_ok=True)
     from PIL import Image
     import jax
 
-    res = 224
     vis_frames = np.asarray(
         jax.image.resize(jnp.asarray(frames).astype(np.float32), (t, res, res, 3), "bilinear")
     ).astype(np.uint8)

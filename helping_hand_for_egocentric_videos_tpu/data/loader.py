@@ -120,37 +120,27 @@ class PrefetchLoader:
                 q.put(stop)
 
         def _produce_batches():
-            for batch_idx in self.sampler:
-                items: list = [None] * len(batch_idx)
-                errors: list = []
-                if self.num_threads > 1:
-                    sem = threading.Semaphore(self.num_threads)
-                    threads = []
+            from concurrent.futures import ThreadPoolExecutor
 
-                    def work(pos, di):
-                        try:
-                            items[pos] = self.dataset[int(di)]
-                        except BaseException as e:
-                            errors.append(e)
-                        finally:
-                            sem.release()
-
-                    for pos, di in enumerate(batch_idx):
-                        sem.acquire()
-                        t = threading.Thread(target=work, args=(pos, di))
-                        t.start()
-                        threads.append(t)
-                    for t in threads:
-                        t.join()
-                    if errors:
-                        raise errors[0]
-                else:
-                    for pos, di in enumerate(batch_idx):
-                        items[pos] = self.dataset[int(di)]
-                batch = collate(items)
-                if self.transform is not None:
-                    batch = self.transform(batch)
-                q.put(batch)
+            if self.num_threads > 1:
+                pool = ThreadPoolExecutor(max_workers=self.num_threads)
+            else:
+                pool = None
+            try:
+                for batch_idx in self.sampler:
+                    if pool is not None:
+                        items = list(
+                            pool.map(lambda di: self.dataset[int(di)], batch_idx)
+                        )
+                    else:
+                        items = [self.dataset[int(di)] for di in batch_idx]
+                    batch = collate(items)
+                    if self.transform is not None:
+                        batch = self.transform(batch)
+                    q.put(batch)
+            finally:
+                if pool is not None:
+                    pool.shutdown(wait=False)
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()

@@ -43,7 +43,12 @@ __all__ = [
     "read_clip_chunked",
     "read_jpeg_frames",
     "read_frames_at",
+    "DECODE_RES",
 ]
+
+# (H, W) the native ffmpeg backend decodes to; the chunked Ego4D release is
+# 256-short-side. Other backends return the file's native resolution.
+DECODE_RES = (256, 456)
 
 
 def _try_import(name):
@@ -140,13 +145,13 @@ def read_frames_at(path: str, frame_ids: Sequence[int], fps: float = 30.0) -> np
             return out
     try:
         if native.has_ffmpeg():
+            # decode the [min, max] frame span at the nominal fps and pick;
+            # output scaled to the configured decode resolution
             start = min(frame_ids) / fps
-            dur = (max(frame_ids) - min(frame_ids) + 1) / fps + 0.5
-            # decode the span at native fps and pick
-            import json as _json  # noqa: F401
-
-            h, w = 256, 456  # decoded at scale below; span decode keeps size
-            span = native.decode_clip_ffmpeg(path, start, dur, fps, w, h, len(frame_ids) * 4 + 8)
+            span_len = max(frame_ids) - min(frame_ids) + 1
+            dur = span_len / fps + 0.5
+            h, w = DECODE_RES
+            span = native.decode_clip_ffmpeg(path, start, dur, fps, w, h, span_len + 8)
             if len(span):
                 rel = np.clip(np.asarray(frame_ids) - min(frame_ids), 0, len(span) - 1)
                 return span[rel]
