@@ -46,6 +46,7 @@ def _merge_cls_softmax(logits_patch, logit_cls, v, cv, dtype):
         v,
         (((e_p.ndim - 1,), (v.ndim - 2,)), (tuple(range(e_p.ndim - 2)),) * 2),
         preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
     )
     out = out + e_c * cv.astype(jnp.float32)
     return out / denom
@@ -63,7 +64,8 @@ def _spatial_kernel(qkv_ref, clsk_ref, clsv_ref, o_ref, *, heads, dh, scale):
         cv = clsv_ref[0, :, sl]
         # scale applied to the f32 logits (== scaling q, softmax-invariant)
         logits = scale * jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT
         )  # (N, N)
         # single-column dot lowered as multiply-reduce (Mosaic rejects a
         # (N, 1) dot_general output on this toolchain)
@@ -96,7 +98,8 @@ def _temporal_kernel(qkv_ref, clsk_ref, clsv_ref, o_ref, *, heads, dh, scale):
         ck = clsk_ref[0, :, sl]  # (1, dh)
         cv = clsv_ref[0, :, sl][None]  # (1, 1, dh)
         logits = scale * jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT
         )  # (Nb, T, T)
         logit_cls = scale * jnp.sum(
             (q * ck[None]).astype(jnp.float32), axis=-1, keepdims=True

@@ -38,6 +38,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
         k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
     )  # (GB, Sq, Sk)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
@@ -47,6 +48,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
         v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
     )
     o_ref[...] = out.astype(o_ref.dtype)
 
