@@ -5,6 +5,25 @@ from __future__ import annotations
 import json
 
 
+def setup_compilation_cache(path: str | None = None):
+    """Enable jax's persistent compilation cache (flagship train-step
+    compiles take minutes; the cache makes relaunches instant). Set
+    HH_COMPILATION_CACHE=0 to disable or to a path to relocate."""
+    import os
+
+    import jax
+
+    env = os.environ.get("HH_COMPILATION_CACHE", "")
+    if env == "0":
+        return
+    cache_dir = path or env or os.path.expanduser("~/.cache/hh_tpu_xla")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without the knobs
+
+
 def maybe_init_distributed():
     """Initialize jax.distributed on multi-host pods.
 
@@ -31,6 +50,7 @@ def maybe_init_distributed():
 def print_env():
     import jax
 
+    setup_compilation_cache()
     maybe_init_distributed()
     print(
         f"jax {jax.__version__} | backend={jax.default_backend()} | "

@@ -46,14 +46,24 @@ MODEL_AXIS = "model"
 def make_mesh(devices=None, model_parallel: int = 1) -> Mesh:
     """(n_devices/model_parallel, model_parallel) mesh over ('data','model').
 
-    The data axis should map to the faster-changing (ICI-adjacent) device
-    order, which ``mesh_utils`` handles on real slices.
+    On real TPU slices the device grid comes from ``mesh_utils`` so the
+    model axis rides ICI-adjacent links; host-local CPU meshes fall back
+    to a plain reshape (keeps each host's data shard on its own devices).
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     assert n % model_parallel == 0, (n, model_parallel)
-    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    shape = (n // model_parallel, model_parallel)
+    if devices[0].platform == "tpu" and devices == jax.devices():
+        try:
+            from jax.experimental import mesh_utils
+
+            arr = mesh_utils.create_device_mesh(shape, devices=devices)
+            return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+        except Exception:
+            pass  # odd topologies: fall through to the plain reshape
+    arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

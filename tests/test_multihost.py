@@ -1,0 +1,80 @@
+"""Multi-host smoke test: 2 real processes over jax.distributed.
+
+Spawns two CPU-backed python processes that initialise a shared
+coordinator, build a global ('data','model') mesh over 2 hosts x 2 local
+devices, and run one sharded computation with a cross-host reduction
+(the same global-array pattern the training step uses). Validates the
+SURVEY §2.5 multi-host path without TPUs.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+pid = int(sys.argv[1])
+jax.distributed.initialize(
+    coordinator_address="127.0.0.1:45677", num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2
+assert len(jax.devices()) == 4  # global
+
+from helping_hand_for_egocentric_videos_tpu.parallel import make_mesh
+
+mesh = make_mesh(jax.devices(), model_parallel=2)  # (data=2, model=2)
+
+# per-host local shard of a global (4, 8) batch: this host's data-axis
+# shard, replicated over the local model-axis devices
+local = np.full((2, 8), float(pid + 1), np.float32)
+global_shape = (4, 8)
+sharding = NamedSharding(mesh, P("data", None))
+arrs = [jax.device_put(local, d) for d in jax.local_devices()]
+garr = jax.make_array_from_single_device_arrays(global_shape, sharding, arrs)
+
+@jax.jit
+def f(x):
+    return (x * 2).sum()
+
+out = float(f(garr))
+# sum = 2 * (2*8*1 + 2*8*2) = 96
+assert abs(out - 96.0) < 1e-5, out
+print(f"proc {pid} OK sum={out}", flush=True)
+"""
+
+
+@pytest.mark.skipif(
+    os.environ.get("HH_SKIP_MULTIHOST") == "1", reason="disabled by env"
+)
+def test_two_process_distributed(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode())
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-2000:]}"
+        assert f"proc {pid} OK" in out
