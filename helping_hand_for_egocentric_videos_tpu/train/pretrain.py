@@ -33,7 +33,6 @@ from ..models.weights import (
     convert_lavila_checkpoint,
     load_torch_state_dict,
 )
-from ..ops.preprocess import resize_normalize
 from ..parallel import make_mesh, replicated, shard_batch
 from ..train.evaluate import EvalModel, run_egomcq
 from ..train.step import TrainConfig, TrainState, make_optimizer, make_train_step
@@ -105,6 +104,7 @@ def pretrain(
         lr=cfg.optim.lr,
         wd=cfg.optim.wd,
         num_queries=cfg.model.num_queries,
+        input_res=cfg.data.input_res,
         backbone_dtype=jnp.bfloat16
         if cfg.parallel.backbone_dtype == "bfloat16"
         else jnp.float32,
@@ -172,13 +172,6 @@ def pretrain(
 
     step_fn = jax.jit(make_train_step(dec_cfg, lavila_cfg, tcfg, optimizer), donate_argnums=(0,))
 
-    def preprocess_video(batch):
-        out = dict(batch)
-        out.pop("text_str", None)
-        video = jnp.asarray(out["video"])
-        out["video"] = resize_normalize(video, cfg.data.input_res)
-        return out
-
     step = int(state.step)
     batch_time = AverageMeter("Time", ":.2f")
     data_time = AverageMeter("Data", ":.2f")
@@ -194,9 +187,8 @@ def pretrain(
             for batch in loader:
                 data_time.update(time.time() - end)
                 batch.pop("text_str", None)
-                batch = shard_batch(batch, mesh)
-                batch = preprocess_video(batch)
-                rng, step_rng = jax.random.split(rng)
+                batch = shard_batch(batch, mesh)  # uint8 video: preprocess
+                rng, step_rng = jax.random.split(rng)  # is fused in the step
                 state, metrics = step_fn(state, backbone, batch, noun_dict, step_rng)
                 step += 1
                 if step % 5 == 0 or max_steps:

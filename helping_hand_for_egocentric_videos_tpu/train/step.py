@@ -45,6 +45,7 @@ class TrainConfig:
     word_loss_weight: float = 0.5
     rephrase_factor: int = 5
     resize: float = 224.0
+    input_res: int = 224  # device-side preprocess target for uint8 video
     num_queries: int = 12  # == args.num_queries (summary query excluded)
     backbone_dtype: Any = jnp.bfloat16
 
@@ -179,10 +180,15 @@ def make_train_step(dec_cfg: DecoderConfig, lavila_cfg, cfg: TrainConfig, optimi
     """
 
     def step(state: TrainState, backbone_params, batch, noun_dict_embeds, rng):
+        video = batch["video"]
+        if video.dtype == jnp.uint8:  # fused device-side preprocess
+            from ..ops.preprocess import resize_normalize
+
+            video = resize_normalize(video, cfg.input_res)
         video_grid, text_fmap = backbone_features(
             backbone_params,
             lavila_cfg,
-            batch["video"],
+            video,
             batch["tokens"],
             dtype=cfg.backbone_dtype,
         )
