@@ -23,7 +23,6 @@ kernels.
 
 from __future__ import annotations
 
-import math
 
 import jax
 import numpy as np

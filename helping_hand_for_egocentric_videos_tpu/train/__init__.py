@@ -6,6 +6,7 @@ from .step import (
     make_train_step,
     pretrain_loss_and_metrics,
 )
+from .evaluate import EvalModel, run_egomcq, run_egtea, run_epic_mir
 
 __all__ = [
     "TrainConfig",
@@ -14,4 +15,8 @@ __all__ = [
     "make_optimizer",
     "make_train_step",
     "pretrain_loss_and_metrics",
+    "EvalModel",
+    "run_egomcq",
+    "run_egtea",
+    "run_epic_mir",
 ]

@@ -43,6 +43,8 @@ class TrainConfig:
     b2: float = 0.999
     temperature: float = 0.07
     word_loss_weight: float = 0.5
+    clip_grad: float = 0.0  # global-norm clip; 0 disables (the reference
+    # ships clip_gradients but never calls it, utils/train_utils.py:15-25)
     rephrase_factor: int = 5
     resize: float = 224.0
     input_res: int = 224  # device-side preprocess target for uint8 video
@@ -69,9 +71,10 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
         return jax.tree_util.tree_map_with_path(rule, params)
 
-    return optax.adamw(
-        cfg.lr, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.wd, mask=decay_mask
-    )
+    opt = optax.adamw(cfg.lr, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.wd, mask=decay_mask)
+    if cfg.clip_grad > 0:
+        opt = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), opt)
+    return opt
 
 
 def backbone_features(backbone_params, lavila_cfg, video, tokens, *, dtype=jnp.bfloat16):
