@@ -88,24 +88,67 @@ def _temporal_kernel(qkv_ref, clsk_ref, clsv_ref, o_ref, *, heads, dh, scale):
     Benchmarked faster than both a head-major pre-transposed variant and
     a transpose-free VPU multiply-reduce variant (see git history).
     """
-    tile = qkv_ref[0]  # (T, Nb, 3D)
     d = heads * dh
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        q = tile[:, :, sl].transpose(1, 0, 2)  # (Nb, T, dh) — VMEM transpose
-        k = tile[:, :, d + h * dh : d + (h + 1) * dh].transpose(1, 0, 2)
-        v = tile[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh].transpose(1, 0, 2)
-        ck = clsk_ref[0, :, sl]  # (1, dh)
-        cv = clsv_ref[0, :, sl][None]  # (1, 1, dh)
+    t, nb = qkv_ref.shape[1], qkv_ref.shape[2]
+
+    def one_head(q, k, v, ck, cv):
+        """q/k/v (T, Nb, dh) slices; CLS ck (1, dh), cv (1, dh)."""
+        q = q.transpose(1, 0, 2)  # (Nb, T, dh) — VMEM transpose
+        k = k.transpose(1, 0, 2)
+        v = v.transpose(1, 0, 2)
         logits = scale * jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )  # (Nb, T, T)
         logit_cls = scale * jnp.sum(
             (q * ck[None]).astype(jnp.float32), axis=-1, keepdims=True
         )  # (Nb, T, 1)
-        out = _merge_cls_softmax(logits, logit_cls, v, cv, tile.dtype)
-        o_ref[0, :, :, sl] = out.transpose(1, 0, 2).astype(o_ref.dtype)
+        out = _merge_cls_softmax(logits, logit_cls, v, cv[None], q.dtype)
+        return out.transpose(1, 0, 2)  # (T, Nb, dh)
+
+    # fori over 128-lane head slabs for LARGE head counts: the loop form
+    # makes Mosaic reuse per-iteration VMEM, but benches ~2.5% slower
+    # in-graph than full unrolling, so <=16 heads (ViT-L) stay unrolled.
+    # Dynamic lane offsets must be provable 128-multiples.
+    if heads > 16 and dh <= 128 and 128 % dh == 0 and (heads * dh) % 128 == 0:
+        group = 128 // dh
+        slab = group * dh
+
+        def body(s, _):
+            off = pl.multiple_of(s * slab, slab)
+            q_slab = qkv_ref[0, :, :, pl.ds(off, slab)]  # (T, Nb, slab)
+            k_slab = qkv_ref[0, :, :, pl.ds(d + off, slab)]
+            v_slab = qkv_ref[0, :, :, pl.ds(2 * d + off, slab)]
+            ck_slab = clsk_ref[0, :, pl.ds(off, slab)]  # (1, slab)
+            cv_slab = clsv_ref[0, :, pl.ds(off, slab)]
+            outs = []
+            for g in range(group):
+                hs = slice(g * dh, (g + 1) * dh)
+                outs.append(
+                    one_head(
+                        q_slab[:, :, hs], k_slab[:, :, hs], v_slab[:, :, hs],
+                        ck_slab[:, hs], cv_slab[:, hs],
+                    ).astype(o_ref.dtype)
+                )
+            full = jnp.concatenate(outs, axis=-1)  # (T, Nb, slab)
+            o_ref[0, :, :, pl.ds(off, slab)] = full
+            return 0
+
+        jax.lax.fori_loop(0, heads // group, body, 0)
+        return
+
+    tile = qkv_ref[0]  # (T, Nb, 3D) — unrolled fallback for odd head dims
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        out = one_head(
+            tile[:, :, sl],
+            tile[:, :, d + h * dh : d + (h + 1) * dh],
+            tile[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh],
+            clsk_ref[0, :, sl],
+            clsv_ref[0, :, sl],
+        )
+        o_ref[0, :, :, sl] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
