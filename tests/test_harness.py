@@ -266,3 +266,59 @@ def test_pretrain_resume(egoclip_fixture, tmp_path):
     state2, _ = pretrain(cfg, max_steps=4, eval_limit=1, models=tiny_models())
     assert int(state2.step) == 4
     assert latest_step(str(tmp_path / "runs" / "resume" / "checkpoints")) == 4
+
+
+def test_epic_postprocess_exact(monkeypatch):
+    """Pin the Epic harness post-processing: sim -> (s+1)/2, transpose,
+    column re-index by indexes.pkl (test_epic.py:65-68,266)."""
+    from helping_hand_for_egocentric_videos_tpu.train import evaluate as ev
+
+    n_cap, n_vid, e = 4, 3, 8
+    rng = np.random.default_rng(5)
+    text_embeds = rng.normal(size=(n_cap, e)).astype(np.float32)
+    vid_embeds = rng.normal(size=(n_vid, e)).astype(np.float32)
+
+    class FakeDs:
+        def __len__(self):
+            return n_vid
+
+        def __getitem__(self, i):
+            return {"video": np.zeros((2, 8, 8, 3), np.uint8), "text": f"t{i}"}
+
+    class FakeModel:
+        dec_cfg = None
+
+        def embed_video(self, v):
+            k = v.shape[0]
+            idx = FakeModel._v
+            FakeModel._v += k
+            return vid_embeds[idx : idx + k], None
+
+        def embed_text(self, texts):
+            idx = FakeModel._t
+            FakeModel._t += len(texts)
+            return text_embeds[idx : idx + len(texts)]
+
+    FakeModel._v = FakeModel._t = 0
+    # NOTE: FakeDs yields one caption per video (n_cap rows unused beyond n_vid)
+    indexes = np.array([2, 0, 1])
+    relevancy = rng.random((n_vid, n_vid))
+    res = ev.run_epic_mir(FakeModel(), FakeDs(), relevancy, indexes, batch_size=2)
+
+    # oracle
+    def norm(a):
+        return a / np.linalg.norm(a, axis=-1, keepdims=True)
+
+    sim = norm(text_embeds[:n_vid]) @ norm(vid_embeds).T  # (cap, vid)
+    sim = ((sim + 1) / 2).T[:, indexes]
+    from helping_hand_for_egocentric_videos_tpu.metrics import calculate_mAP
+    from helping_hand_for_egocentric_videos_tpu.metrics.ndcg import (
+        calculate_IDCG,
+        calculate_k_counts,
+        calculate_nDCG,
+    )
+
+    k_v = calculate_k_counts(relevancy)
+    want_ndcg_vt = calculate_nDCG(sim, relevancy, k_v, IDCG=calculate_IDCG(relevancy, k_v))
+    np.testing.assert_allclose(res["nDCG_VT"], want_ndcg_vt, rtol=1e-6)
+    np.testing.assert_allclose(res["mAP_VT"], calculate_mAP(sim, relevancy), rtol=1e-6)
