@@ -129,47 +129,37 @@ def _var_attention_pallas(p, x_cls, x_p, t: int, n: int, heads: int, mode: str, 
     """Divided attention via the packed-qkv Pallas kernel on a split
     (cls, patches) representation: the patch qkv matmul's (B, T*N, 3D)
     output reshapes for free into the kernel's (B, T, N, 3D) tile — no
-    token slicing, head transposes or output concat ever touch HBM.
+    token slicing, head transposes or output concat ever touch HBM. The
+    CLS query's full-sequence attention comes from per-tile partials the
+    kernels emit, merged in XLA (ops/divided_attention.py).
 
     Returns (cls_out (B, 1, D), patch_out (B, T*N, D)), post-projection.
     """
-    from ..ops.divided_attention import divided_patch_attention
+    from ..ops.divided_attention import divided_patch_attention, merge_cls_partials
 
     b, _, d = x_p.shape
-    dh = d // heads
     qkv_p = linear(p["qkv"], x_p).reshape(b, t, n, 3 * d)
     qkv_c = linear(p["qkv"], x_cls)[:, 0]  # (B, 3D)
 
+    cls_q = qkv_c[:, :d]
     cls_k = qkv_c[:, d : 2 * d]
     cls_v = qkv_c[:, 2 * d :]
-    out_patch = divided_patch_attention(
-        qkv_p, cls_k, cls_v, mode=mode, heads=heads, interpret=interpret
-    ).reshape(b, t * n, d)
-
-    # CLS query attends over [cls | all patches] — one query per head.
-    cls_q = qkv_c[:, :d].reshape(b, heads, dh) * (dh**-0.5)
-    k_p = qkv_p[..., d : 2 * d].reshape(b, t * n, heads, dh)
-    v_p = qkv_p[..., 2 * d :].reshape(b, t * n, heads, dh)
-    logits_p = jnp.einsum("bhd,bshd->bhs", cls_q, k_p).astype(jnp.float32)
-    logit_self = jnp.sum(
-        cls_q * cls_k.reshape(b, heads, dh), axis=-1, keepdims=True
-    ).astype(jnp.float32)
-    m = jnp.maximum(jnp.max(logits_p, axis=-1, keepdims=True), logit_self)
-    e_p = jnp.exp(logits_p - m)
-    e_c = jnp.exp(logit_self - m)
-    denom = jnp.sum(e_p, axis=-1, keepdims=True) + e_c
-    cls_out = jnp.einsum("bhs,bshd->bhd", e_p.astype(x_p.dtype), v_p)
-    cls_out = cls_out + e_c.astype(x_p.dtype) * cls_v.reshape(b, heads, dh)
-    cls_out = (cls_out / denom.astype(x_p.dtype)).reshape(b, 1, d)
+    out_patch, (m, s, co) = divided_patch_attention(
+        qkv_p, cls_k, cls_v, cls_q, mode=mode, heads=heads, interpret=interpret
+    )
+    out_patch = out_patch.reshape(b, t * n, d)
+    cls_out = merge_cls_partials(m, s, co, cls_q, cls_k, cls_v, heads)
+    cls_out = cls_out.astype(x_p.dtype)[:, None, :]
 
     return linear(p["proj"], cls_out), linear(p["proj"], out_patch)
 
 
 def _kernel_friendly(n: int, d: int, heads: int) -> bool:
-    """Shapes the Mosaic kernels compile well for: full-lane tiles and
-    64-multiple head dims (see BENCH_NOTES.md 'landmines')."""
+    """Shapes the Mosaic kernels compile well for: full-lane tiles,
+    64-multiple head dims, and an unrolled head loop that fits VMEM
+    (see BENCH_NOTES.md 'landmines')."""
     dh = d // heads
-    return dh % 64 == 0 and n % 8 == 0 and n >= 32
+    return dh % 64 == 0 and n % 8 == 0 and n >= 32 and heads <= 16
 
 
 def _var_attention_split(p, x_cls, x_p, t, n, heads, mode, backend):
