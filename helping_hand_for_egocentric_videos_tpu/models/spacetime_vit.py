@@ -22,9 +22,14 @@ TPU-first design choices:
 - the 24 blocks run under ``lax.scan`` over stacked params, wrapped in
   ``jax.checkpoint`` (rematerialisation) to mirror the reference's
   ``use_checkpoint=True`` and keep HBM flat at 16-frame eval.
-- divided attention is batched einsum attention reshaped to
-  (B, T, N) / (B, N, T) groups; the Pallas flash-attention path plugs in
-  behind the same function signature (ops/flash_attention.py).
+- the CLS token rides separately from the patch tokens through the whole
+  tower (LN/MLP are per-token, so the math is unchanged), letting the
+  Pallas divided-attention kernels consume the packed patch qkv with zero
+  HBM slicing; the XLA fallback path concatenates internally.
+- divided attention on TPU runs in the Pallas kernels of
+  ops/divided_attention.py (which also emit the CLS query's
+  streaming-softmax partials); elsewhere a grouped-einsum XLA
+  implementation with identical semantics is used.
 """
 
 from __future__ import annotations
