@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--start", type=float, default=0.0)
     p.add_argument("--end", type=float, default=2.0)
     p.add_argument("--out_dir", default="vis")
+    p.add_argument(
+        "--attn", action="store_true",
+        help="also save per-query cross-attention heatmaps (plot_attn_map parity)",
+    )
     p.set_defaults(num_frames=4, pred_traj=True)
     args = p.parse_args(argv)
     common.print_env()
@@ -66,6 +70,36 @@ def main(argv=None):
     out_path = os.path.join(args.out_dir, "boxes.png")
     Image.fromarray(grid).save(out_path)
     print(f"saved {out_path}")
+
+    if args.attn:
+        # last-layer cross-attention of each query over the T x N patch grid
+        from ..models.obj_decoder import decoder_forward
+        from ..models.lavila import encode_image
+        from ..ops.preprocess import resize_normalize
+
+        video = resize_normalize(jnp.asarray(frames[None]), model.input_res)
+        _, fmap = encode_image(
+            model.backbone_params, model.lavila_cfg, video, use_remat=False
+        )
+        n = model.lavila_cfg.visual.patches_per_frame
+        grid_feats = fmap[:, 1:, :].reshape(1, t, n, -1)
+        dout = decoder_forward(
+            model.decoder_params, model.dec_cfg, grid_feats, return_attn=True
+        )
+        attn = np.asarray(dout.cross_attn[-1, 0])  # (Q, T*N)
+        side = int(n**0.5)
+        maps = attn.reshape(-1, t, side, side)
+        maps = maps / (maps.max(axis=(1, 2, 3), keepdims=True) + 1e-8)
+        q_rows = []
+        for qi in range(maps.shape[0]):
+            heat = (maps[qi] * 255).astype(np.uint8)  # (T, side, side)
+            q_rows.append(np.concatenate(list(heat), axis=1))
+        attn_img = np.concatenate(q_rows, axis=0)
+        attn_path = os.path.join(args.out_dir, "cross_attn.png")
+        Image.fromarray(attn_img).resize(
+            (attn_img.shape[1] * 8, attn_img.shape[0] * 8), Image.NEAREST
+        ).save(attn_path)
+        print(f"saved {attn_path}")
 
 
 if __name__ == "__main__":

@@ -227,3 +227,32 @@ def test_word_contrastive_matches_oracle(rng):
     )
     want = np_word_loss(noun_embeds, preds, gt)
     np.testing.assert_allclose(float(got), want, rtol=1e-3)
+
+
+def test_single_query_mode_box_loss(rng):
+    """nq==1 mode: one query decodes n_decode boxes per frame; the box loss
+    consumes them as 'all_boxes' with n_queries=10 (run/train.py:164,
+    tfm_decoder.py:135-139)."""
+    import jax
+    from helping_hand_for_egocentric_videos_tpu.models import (
+        DecoderConfig,
+        decoder_forward,
+        init_decoder_params,
+    )
+
+    cfg = DecoderConfig(
+        d_model=32, nhead=4, num_layers=2, dim_feedforward=64, num_queries=1,
+        num_classes=4, feature_dim=48, num_frames=2, patches_per_frame=4,
+        n_decode=10,
+    )
+    params = init_decoder_params(jax.random.PRNGKey(11), cfg)
+    feats = jnp.asarray(rng.normal(size=(2, 2, 4, 48)).astype(np.float32))
+    out = decoder_forward(params, cfg, feats)
+    assert out.pred_boxes.shape == (4, 10, 4)  # B*T rows, n_decode boxes
+
+    raw = np.zeros((4, 4, 4), np.float32)
+    raw[:, 0] = [10, 10, 100, 100]
+    raw[:, 2] = [50, 50, 150, 160]
+    total, aux = compute_box_loss("all_boxes", out.pred_boxes, jnp.asarray(raw))
+    assert np.isfinite(float(total))
+    assert float(aux["num_boxes"]) == 8.0  # 2 valid boxes x 4 frame-rows
