@@ -39,7 +39,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .video import read_clip_chunked
+from .video import read_clip_chunked, resize_frames
 
 __all__ = ["EgoClipConfig", "EgoClipDataset", "load_noun_dict"]
 
@@ -155,6 +155,10 @@ class EgoClipDataset:
                 jitter=(cfg.frame_sample == "rand" and cfg.split == "train"),
                 rng=self._rng,
             )
+            # decoders return native sizes (256x456 chunked Ego4D, etc.);
+            # squash to one static decode_res so mixed-success batches stack
+            # and the device squash-to-input_res sees the full frame
+            frames = resize_frames(np.ascontiguousarray(frames), cfg.decode_res)
             valid = 1
         except Exception:
             if cfg.loading == "strict":
@@ -367,9 +371,8 @@ class EgoClipDataset:
         for i in range(n):
             opt = options[str(i)]
             paths, secs = self._video_paths(opt)
-            frames, _, _ = self._get_frames(paths, secs)
-            fh, fw = frames.shape[1:3]
-            videos[i, :, :fh, :fw] = frames[:, :h, :w]
+            # _get_frames squash-resizes every clip to decode_res
+            videos[i], _, _ = self._get_frames(paths, secs)
             texts.append(self._caption(opt)[0])
         return {
             "video": videos,

@@ -43,6 +43,7 @@ __all__ = [
     "read_clip_chunked",
     "read_jpeg_frames",
     "read_frames_at",
+    "resize_frames",
     "DECODE_RES",
 ]
 
@@ -159,6 +160,25 @@ def read_frames_at(path: str, frame_ids: Sequence[int], fps: float = 30.0) -> np
         pass
     raise RuntimeError(
         f"no mp4 decode backend available for {path}; backends: {available_backends()}"
+    )
+
+
+def resize_frames(frames: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    """Squash-resize a uint8 (T, H, W, C) clip to (T, h, w, C) on the host.
+
+    Aspect ratio is deliberately ignored — the reference's eval transform is
+    ``Resize((224, 224))`` straight from the native decode size
+    (data_loader/transforms.py:38-75). Decoders return native sizes (e.g.
+    256x456 chunked Ego4D), so every clip is normalised to one static shape
+    here before batching; the device preprocess then squashes to input_res.
+    """
+    h, w = hw
+    if frames.shape[1] == h and frames.shape[2] == w:
+        return frames
+    from PIL import Image
+
+    return np.stack(
+        [np.asarray(Image.fromarray(f).resize((w, h), Image.BILINEAR)) for f in frames]
     )
 
 

@@ -283,9 +283,11 @@ def decoder_forward(
             nq_out = cfg.n_decode
         cond_hs = linear(params["frame_proj"], cond)  # (L, B, T, Q', D)
         cond_hs = cond_hs.reshape(num_layers, b * t, nq_out, d)
+        # class logits broadcast over frames, and over n_decode in the
+        # nq==1 mode (tfm_decoder.py:216,224)
         outputs_class = jnp.broadcast_to(
-            outputs_class[:, :, None], (num_layers, b, t, q, cfg.num_classes + 1)
-        ).reshape(num_layers, b * t, q, cfg.num_classes + 1)
+            outputs_class[:, :, None], (num_layers, b, t, nq_out, cfg.num_classes + 1)
+        ).reshape(num_layers, b * t, nq_out, cfg.num_classes + 1)
     else:
         cond_hs = hs
 

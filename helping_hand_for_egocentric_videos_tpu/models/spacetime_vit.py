@@ -316,8 +316,10 @@ def spacetime_forward(
     pos_temporal = jnp.repeat(params["temporal_embed"][:, :t, :], n, axis=1)
     x_p = x_p + (pos_spatial + pos_temporal).astype(dtype)
     x_cls = x_cls + params["pos_embed"][:, :1, :].astype(dtype)
-    x_cls = layer_norm(params["ln_pre"], x_cls, cfg.ln_eps)
-    x_p = layer_norm(params["ln_pre"], x_p, cfg.ln_eps)
+    # ln_pre is a default nn.LayerNorm (eps 1e-5), unlike the timm-style
+    # 1e-6 block norms (model/LaviLa.py:440,456-457)
+    x_cls = layer_norm(params["ln_pre"], x_cls, 1e-5)
+    x_p = layer_norm(params["ln_pre"], x_p, 1e-5)
 
     block = _block
     if use_remat:

@@ -107,20 +107,7 @@ def convert_lavila_checkpoint(sd: dict, visual_depth: int = 24, text_layers: int
             }
         )
 
-    txt_blocks = []
-    for i in range(text_layers):
-        pre = f"transformer.resblocks.{i}"
-        txt_blocks.append(
-            {
-                "ln_1": _ln(sd, f"{pre}.ln_1"),
-                "attn": _mha(sd, f"{pre}.attn"),
-                "ln_2": _ln(sd, f"{pre}.ln_2"),
-                "mlp_fc": _lin(sd, f"{pre}.mlp.c_fc"),
-                "mlp_proj": _lin(sd, f"{pre}.mlp.c_proj"),
-            }
-        )
-
-    return {
+    params = {
         "visual": {
             "patch_embed": {"w": jnp.asarray(patch_w)},
             "cls_token": jnp.asarray(sd["visual.cls_token"]),
@@ -129,17 +116,36 @@ def convert_lavila_checkpoint(sd: dict, visual_depth: int = 24, text_layers: int
             "ln_pre": _ln(sd, "visual.ln_pre"),
             "blocks": _stack(vis_blocks),
             "norm": _ln(sd, "visual.norm"),
-        },
-        "text": {
+        }
+    }
+
+    # vision-only checkpoints (e.g. a bare SpaceTimeTransformer) omit the
+    # text tower and projections; convert what is present.
+    if text_layers and "token_embedding.weight" in sd:
+        txt_blocks = []
+        for i in range(text_layers):
+            pre = f"transformer.resblocks.{i}"
+            txt_blocks.append(
+                {
+                    "ln_1": _ln(sd, f"{pre}.ln_1"),
+                    "attn": _mha(sd, f"{pre}.attn"),
+                    "ln_2": _ln(sd, f"{pre}.ln_2"),
+                    "mlp_fc": _lin(sd, f"{pre}.mlp.c_fc"),
+                    "mlp_proj": _lin(sd, f"{pre}.mlp.c_proj"),
+                }
+            )
+        params["text"] = {
             "token_embedding": jnp.asarray(sd["token_embedding.weight"]),
             "positional_embedding": jnp.asarray(sd["positional_embedding"]),
             "blocks": _stack(txt_blocks),
             "ln_final": _ln(sd, "ln_final"),
             "text_projection": jnp.asarray(sd["text_projection"]),
-        },
-        "image_projection": jnp.asarray(sd["image_projection"]),
-        "logit_scale": jnp.asarray(sd["logit_scale"]),
-    }
+        }
+    if "image_projection" in sd:
+        params["image_projection"] = jnp.asarray(sd["image_projection"])
+    if "logit_scale" in sd:
+        params["logit_scale"] = jnp.asarray(sd["logit_scale"])
+    return params
 
 
 def convert_decoder_checkpoint(sd: dict, num_layers: int = 6):
@@ -197,6 +203,9 @@ def inflate_temporal_embed(temporal_embed, num_frames: int):
     t0 = te.shape[1]
     if t0 == num_frames:
         return te
+    if t0 > num_frames:
+        # more loaded frames than needed -> slice (run/test_egtea.py:66-68)
+        return te[:, :num_frames]
     # torch bilinear on a (1, 1, T, D) image with align_corners=False
     resized = jax.image.resize(
         te[0], (num_frames, te.shape[2]), method="linear"

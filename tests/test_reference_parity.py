@@ -1,0 +1,561 @@
+"""Numerical parity against the actual reference implementation.
+
+Builds the reference PyTorch modules (mounted read-only at
+/root/reference) with small configs and *random* weights, converts the
+torch state dicts through ``models/weights.py``, and asserts allclose
+between the torch forward and this framework's forward in f32.
+
+Covered (VERDICT round-1 item 2):
+- SpaceTimeTransformer ``forward_features`` end-to-end, which exercises
+  VarAttention space+time (model/LaviLa.py:226-283) and SpaceTimeBlock
+  (L:345-390) with non-zero temporal weights;
+- CLIP text tower + EOT projection (model/LaviLa.py:660-670);
+- full CLIP.forward(..., return_feature_map=True) (L:672-687);
+- ObjDecoder.forward pred_boxes/pred_logits/aux/hs (model/tfm_decoder.py:
+  183-233), both the nq=13 and the nq==1/query_index modes;
+- EgoNCE single- and multi-positive (model/loss.py:15-70);
+- WordContrastiveLoss (model/loss.py:72-106);
+- inflate_positional_embeds' bilinear temporal inflation
+  (run/test_egtea.py:46-96).
+
+The reference needs timm / torchvision / ftfy, which are not installed;
+tiny stand-in modules providing exactly the symbols it imports are
+registered first (DropPath/to_2tuple/trunc_normal_ and import-time
+placeholders that the tested code paths never call).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "model")),
+    reason="reference repo not mounted",
+)
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+
+def _stub_module(name):
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return mod
+
+
+def _install_stubs():
+    import torch.nn as nn
+
+    if "timm" not in sys.modules:
+        class DropPath(nn.Module):
+            def __init__(self, drop_prob=None):
+                super().__init__()
+                self.drop_prob = drop_prob or 0.0
+
+            def forward(self, x):
+                if self.drop_prob == 0.0 or not self.training:
+                    return x
+                keep = 1.0 - self.drop_prob
+                shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+                mask = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+                return x.div(keep) * mask.floor_()
+
+        layers = _stub_module("timm.models.layers")
+        layers.DropPath = DropPath
+        layers.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
+        layers.trunc_normal_ = nn.init.trunc_normal_
+        timm = _stub_module("timm")
+        models = _stub_module("timm.models")
+        timm.models = models
+        models.layers = layers
+        sys.modules["timm"] = timm
+        sys.modules["timm.models"] = models
+        sys.modules["timm.models.layers"] = layers
+
+    if "torchvision" not in sys.modules:
+        tv = _stub_module("torchvision")
+        tfs = _stub_module("torchvision.transforms")
+        for name in ("Compose", "Resize", "CenterCrop", "ToTensor", "Normalize"):
+            setattr(tfs, name, type(name, (), {}))
+        tfs.InterpolationMode = types.SimpleNamespace(BICUBIC="bicubic")
+        tv.transforms = tfs
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tfs
+
+    if "ftfy" not in sys.modules:
+        ftfy = _stub_module("ftfy")
+        ftfy.fix_text = lambda s: s
+        sys.modules["ftfy"] = ftfy
+
+    if "pkg_resources" not in sys.modules:
+        try:
+            import pkg_resources  # noqa: F401
+        except ImportError:
+            import packaging
+
+            pr = _stub_module("pkg_resources")
+            pr.packaging = packaging
+            sys.modules["pkg_resources"] = pr
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+
+
+_install_stubs()
+
+from model.LaviLa import CLIP, SpaceTimeTransformer  # noqa: E402
+from model.loss import EgoNCE, WordContrastiveLoss  # noqa: E402
+from model.openai_model import QuickGELU  # noqa: E402
+from model.tfm_decoder import Cross_Attention, ObjDecoder  # noqa: E402
+
+from helping_hand_for_egocentric_videos_tpu.losses import (  # noqa: E402
+    egonce_loss,
+    egonce_multi_positive_loss,
+    word_contrastive_loss,
+)
+from helping_hand_for_egocentric_videos_tpu.models import (  # noqa: E402
+    DecoderConfig,
+    decoder_forward,
+    init_decoder_params,
+    init_lavila_params,
+)
+from helping_hand_for_egocentric_videos_tpu.models import obj_decoder as dec_mod  # noqa: E402
+from helping_hand_for_egocentric_videos_tpu.models.clip_text import (  # noqa: E402
+    TextConfig,
+    encode_text,
+)
+from helping_hand_for_egocentric_videos_tpu.models.lavila import (  # noqa: E402
+    LavilaConfig,
+    lavila_forward,
+)
+from helping_hand_for_egocentric_videos_tpu.models.spacetime_vit import (  # noqa: E402
+    SpaceTimeConfig,
+    spacetime_forward,
+)
+from helping_hand_for_egocentric_videos_tpu.models.weights import (  # noqa: E402
+    convert_decoder_checkpoint,
+    convert_lavila_checkpoint,
+    inflate_temporal_embed,
+)
+
+# small-but-structured dims: 2x2 patch grid, 4 frames, 4 heads
+T, IMG, PATCH, WIDTH, DEPTH, HEADS = 4, 28, 14, 32, 2, 4
+
+
+def randomize_(module, seed):
+    """Fill every parameter with healthy random values (LN gammas near 1)
+    so parity is tested with non-degenerate weights — incl. the zero-init
+    temporal attention."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, p in module.named_parameters():
+            if p.ndim <= 1 and name.endswith("weight"):
+                p.copy_(1.0 + 0.2 * torch.randn(p.shape, generator=g))
+            elif p.ndim == 0 or name.endswith("logit_scale"):
+                pass
+            else:
+                p.copy_(0.05 * torch.randn(p.shape, generator=g))
+
+
+def sd_np(module):
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def make_vision_tower(num_frames=T, seed=0):
+    torch.manual_seed(seed)
+    m = SpaceTimeTransformer(
+        img_size=IMG,
+        patch_size=PATCH,
+        embed_dim=WIDTH,
+        depth=DEPTH,
+        num_heads=HEADS,
+        num_frames=num_frames,
+        num_classes=0,  # head = Identity, like the factory (LaviLa.py:148-150)
+        time_init="zeros",
+        attention_style="frozen-in-time",
+        ln_pre=True,
+        act_layer=QuickGELU,
+    )
+    randomize_(m, seed + 1)
+    return m.eval()
+
+
+def vision_cfg(num_frames=T):
+    return SpaceTimeConfig(
+        img_size=IMG,
+        patch_size=PATCH,
+        width=WIDTH,
+        depth=DEPTH,
+        heads=HEADS,
+        num_frames=num_frames,
+    )
+
+
+def make_clip(num_frames=T, seed=0):
+    torch.manual_seed(seed)
+    model = CLIP(
+        embed_dim=16,
+        vision_width=WIDTH,
+        vision_model=make_vision_tower(num_frames, seed),
+        context_length=12,
+        vocab_size=64,
+        transformer_width=32,
+        transformer_heads=4,
+        transformer_layers=2,
+        tempearture_init=0.07,
+    )
+    randomize_(model.transformer, seed + 2)
+    randomize_(model.ln_final, seed + 3)
+    with torch.no_grad():
+        model.token_embedding.weight.copy_(
+            0.05 * torch.randn(model.token_embedding.weight.shape)
+        )
+        model.positional_embedding.copy_(
+            0.05 * torch.randn(model.positional_embedding.shape)
+        )
+    return model.eval()
+
+
+def clip_cfg(num_frames=T):
+    return LavilaConfig(
+        visual=vision_cfg(num_frames),
+        text=TextConfig(
+            vocab_size=64, context_length=12, width=32, heads=4, layers=2, embed_dim=16
+        ),
+        embed_dim=16,
+    )
+
+
+def rand_video(rng, b, t=T):
+    return rng.normal(size=(b, t, IMG, IMG, 3)).astype(np.float32)
+
+
+def rand_tokens(rng, b, length=12, vocab=64):
+    toks = rng.integers(1, vocab - 2, size=(b, length)).astype(np.int64)
+    toks[:, 0] = vocab - 2  # SOT-ish
+    eot_pos = rng.integers(3, length, size=b)
+    for i in range(b):
+        toks[i, eot_pos[i]] = vocab - 1  # EOT = highest id (argmax lookup)
+        toks[i, eot_pos[i] + 1 :] = 0
+    return toks
+
+
+def test_spacetime_forward_features_parity(rng):
+    """forward_features end-to-end: VarAttention space+time + SpaceTimeBlock
+    + patchify + pos/temporal tiling + ln_pre/norm (model/LaviLa.py:537-573)."""
+    tower = make_vision_tower()
+    video = rand_video(rng, b=2)
+    with torch.no_grad():
+        x_cls_t, x_t = tower.forward_features(
+            torch.from_numpy(video).permute(0, 1, 4, 2, 3)
+        )
+
+    # full-CLIP converter prefixes; build a faux CLIP sd namespace
+    sd = {f"visual.{k}": v for k, v in sd_np(tower).items()}
+    params = convert_lavila_checkpoint(sd, visual_depth=DEPTH, text_layers=0)
+
+    cfg = vision_cfg()
+    x_cls_j, x_j = spacetime_forward(
+        params["visual"], cfg, jnp.asarray(video), use_remat=False, dtype=jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_j), x_t.numpy(), rtol=1e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(x_cls_j), x_cls_t.numpy(), rtol=1e-4, atol=2e-5
+    )
+
+
+def test_spacetime_two_frame_parity(rng):
+    """A tower built at num_frames=2 (the reference cannot actually run
+    T < num_frames — the embed add at model/LaviLa.py:553 shape-errors;
+    frame-count changes go through inflate_positional_embeds instead)."""
+    tower = make_vision_tower(num_frames=2)
+    video = rand_video(rng, b=1, t=2)
+    with torch.no_grad():
+        _, x_t = tower.forward_features(
+            torch.from_numpy(video).permute(0, 1, 4, 2, 3)
+        )
+    sd = {f"visual.{k}": v for k, v in sd_np(tower).items()}
+    params = convert_lavila_checkpoint(sd, visual_depth=DEPTH, text_layers=0)
+    _, x_j = spacetime_forward(
+        params["visual"], vision_cfg(num_frames=2), jnp.asarray(video),
+        use_remat=False, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(x_j), x_t.numpy(), rtol=1e-4, atol=2e-5)
+
+
+def test_text_tower_parity(rng):
+    clip = make_clip()
+    tokens = rand_tokens(rng, b=3)
+    with torch.no_grad():
+        x_cls_t, x_t = clip.encode_text(torch.from_numpy(tokens))
+
+    params = convert_lavila_checkpoint(sd_np(clip), visual_depth=DEPTH, text_layers=2)
+    cfg = clip_cfg()
+    x_cls_j, x_j = encode_text(
+        params["text"], cfg.text, jnp.asarray(tokens.astype(np.int32))
+    )
+    np.testing.assert_allclose(np.asarray(x_j), x_t.numpy(), rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(x_cls_j), x_cls_t.numpy(), rtol=1e-4, atol=2e-5
+    )
+
+
+def test_clip_forward_parity(rng):
+    """CLIP.forward(..., return_feature_map=True) (model/LaviLa.py:672-687)."""
+    clip = make_clip()
+    video = rand_video(rng, b=2)
+    tokens = rand_tokens(rng, b=2)
+    with torch.no_grad():
+        out_t = clip(
+            torch.from_numpy(video).permute(0, 1, 4, 2, 3),
+            torch.from_numpy(tokens),
+            return_feature_map=True,
+        )
+
+    params = convert_lavila_checkpoint(sd_np(clip), visual_depth=DEPTH, text_layers=2)
+    cfg = clip_cfg()
+    out_j = lavila_forward(
+        params, cfg, jnp.asarray(video), jnp.asarray(tokens.astype(np.int32)),
+        use_remat=False, dtype=jnp.float32,
+    )
+    for key in ("image_embed", "text_embed", "image_feature_map", "text_feature_map"):
+        np.testing.assert_allclose(
+            np.asarray(out_j[key]), out_t[key].numpy(), rtol=1e-4, atol=2e-5,
+            err_msg=key,
+        )
+    np.testing.assert_allclose(
+        float(out_j["logit_scale"]), float(out_t["logit_scale"]), rtol=1e-5
+    )
+
+
+def _make_ref_decoder(num_queries, seed=0, pred_traj=True):
+    torch.manual_seed(seed)
+    transformer = Cross_Attention(
+        d_model=32,
+        nhead=4,
+        num_decoder_layers=2,
+        dim_feedforward=64,
+        dropout=0.1,
+        normalize_before=True,
+        return_intermediate_dec=True,
+    )
+    dec = ObjDecoder(
+        transformer=transformer,
+        num_classes=8,
+        num_queries=num_queries,
+        feature_dim=WIDTH,
+        aux_loss=True,
+        pred_traj=pred_traj,
+        num_frames=T,
+        patches_per_frame=4,
+    )
+    randomize_(dec, seed + 1)
+    return dec.eval()
+
+
+def _my_dec_cfg(num_queries, pred_traj=True):
+    return DecoderConfig(
+        d_model=32,
+        nhead=4,
+        num_layers=2,
+        dim_feedforward=64,
+        num_queries=num_queries,
+        num_classes=8,
+        feature_dim=WIDTH,
+        text_width=768,
+        embed_dim=256,
+        num_frames=T,
+        patches_per_frame=4,
+        pred_traj=pred_traj,
+    )
+
+
+@pytest.mark.parametrize("num_queries", [13, 1])
+def test_obj_decoder_parity(rng, num_queries):
+    """ObjDecoder.forward: boxes/logits/aux/hs (model/tfm_decoder.py:183-233),
+    nq=13 trajectory mode and the nq==1 query_index mode."""
+    dec = _make_ref_decoder(num_queries)
+    b = 2
+    feats = rng.normal(size=(b, T, 4, WIDTH)).astype(np.float32)
+    with torch.no_grad():
+        out_t, hs_t, _, _ = dec(torch.from_numpy(feats))
+
+    params = convert_decoder_checkpoint(sd_np(dec), num_layers=2)
+    cfg = _my_dec_cfg(num_queries)
+    out_j = decoder_forward(params, cfg, jnp.asarray(feats))
+
+    np.testing.assert_allclose(
+        np.asarray(out_j.hs), hs_t.numpy(), rtol=1e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j.pred_boxes), out_t["pred_boxes"].numpy(),
+        rtol=1e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j.pred_logits), out_t["pred_logits"].numpy(),
+        rtol=1e-4, atol=2e-5,
+    )
+    for i, aux in enumerate(out_t["aux_outputs"]):
+        np.testing.assert_allclose(
+            np.asarray(out_j.aux_pred_boxes[i]), aux["pred_boxes"].numpy(),
+            rtol=1e-4, atol=2e-5, err_msg=f"aux {i} boxes",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_j.aux_pred_logits[i]), aux["pred_logits"].numpy(),
+            rtol=1e-4, atol=2e-5, err_msg=f"aux {i} logits",
+        )
+
+
+def test_obj_decoder_no_traj_parity(rng):
+    """pred_traj=False (the Epic/EGTEA eval decoder, run/test_epic.py:151):
+    boxes come straight from hs (tfm_decoder.py:210,225-228)."""
+    dec = _make_ref_decoder(13, pred_traj=False)
+    feats = rng.normal(size=(1, T, 4, WIDTH)).astype(np.float32)
+    with torch.no_grad():
+        out_t, hs_t, _, _ = dec(torch.from_numpy(feats))
+    params = convert_decoder_checkpoint(sd_np(dec), num_layers=2)
+    out_j = decoder_forward(params, _my_dec_cfg(13, pred_traj=False), jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(out_j.hs), hs_t.numpy(), rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_j.pred_boxes), out_t["pred_boxes"].numpy(), rtol=1e-4, atol=2e-5
+    )
+
+
+def test_proj_heads_parity(rng):
+    """txt_proj / vid_proj / obj_proj heads (tfm_decoder.py:168-180)."""
+    dec = _make_ref_decoder(13)
+    params = convert_decoder_checkpoint(sd_np(dec), num_layers=2)
+    x768 = rng.normal(size=(3, 768)).astype(np.float32)
+    x512 = rng.normal(size=(3, 32)).astype(np.float32)
+    with torch.no_grad():
+        txt_t = dec.txt_proj(torch.from_numpy(x768)).numpy()
+        vid_t = dec.vid_proj(torch.from_numpy(x768)).numpy()
+        obj_t = dec.obj_proj(torch.from_numpy(x512)).numpy()
+    np.testing.assert_allclose(
+        np.asarray(dec_mod.txt_proj(params, jnp.asarray(x768))), txt_t,
+        rtol=1e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec_mod.vid_proj(params, jnp.asarray(x768))), vid_t,
+        rtol=1e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dec_mod.obj_proj(params, jnp.asarray(x512))), obj_t,
+        rtol=1e-4, atol=2e-5,
+    )
+
+
+def _tag_mask(rng, n, dims, p=0.4):
+    vecs = (rng.random((n, dims)) < p).astype(np.float32)
+    m = (vecs @ vecs.T > 0).astype(np.float32)
+    return m
+
+
+def test_egonce_single_positive_parity(rng):
+    n = 6
+    sim = np.tanh(rng.normal(size=(n, n))).astype(np.float32)
+    mask_v = _tag_mask(rng, n, 10)
+    mask_n = _tag_mask(rng, n, 20)
+    with torch.no_grad():
+        loss_t, mask_t = EgoNCE()(
+            torch.from_numpy(sim), torch.from_numpy(mask_v), torch.from_numpy(mask_n)
+        )
+    loss_j, mask_j = egonce_loss(
+        jnp.asarray(sim), jnp.asarray(mask_v), jnp.asarray(mask_n)
+    )
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(mask_j), mask_t.numpy())
+
+
+def test_egonce_multi_positive_parity(rng):
+    n, r = 4, 5
+    sim = np.tanh(rng.normal(size=(n * r, n))).astype(np.float32)
+    mask_v = _tag_mask(rng, n, 10)
+    mask_n = _tag_mask(rng, n, 20)
+    # row-constant pad mask; rephrase 0 (the original caption) always valid
+    row_valid = (rng.random(n * r) > 0.3).astype(np.float32)
+    row_valid[::r] = 1.0
+    pad = np.broadcast_to(row_valid[:, None], (n * r, n)).copy()
+    with torch.no_grad():
+        loss_t, _ = EgoNCE()(
+            torch.from_numpy(sim),
+            torch.from_numpy(mask_v),
+            torch.from_numpy(mask_n),
+            multi_pad_mask=torch.from_numpy(pad),
+        )
+    loss_j, _ = egonce_multi_positive_loss(
+        jnp.asarray(sim), jnp.asarray(mask_v), jnp.asarray(mask_n), jnp.asarray(pad)
+    )
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5, atol=1e-6)
+
+
+def test_egonce_multi_positive_all_valid_parity(rng):
+    n, r = 3, 5
+    sim = np.tanh(rng.normal(size=(n * r, n))).astype(np.float32)
+    pad = np.ones((n * r, n), np.float32)
+    mask_v = _tag_mask(rng, n, 8)
+    mask_n = _tag_mask(rng, n, 8)
+    with torch.no_grad():
+        loss_t, _ = EgoNCE()(
+            torch.from_numpy(sim),
+            torch.from_numpy(mask_v),
+            torch.from_numpy(mask_n),
+            multi_pad_mask=torch.from_numpy(pad),
+        )
+    loss_j, _ = egonce_multi_positive_loss(
+        jnp.asarray(sim), jnp.asarray(mask_v), jnp.asarray(mask_n), jnp.asarray(pad)
+    )
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5, atol=1e-6)
+
+
+def test_word_contrastive_parity(rng):
+    v, e, b, q, m = 30, 16, 3, 5, 4
+    noun_embeds = rng.normal(size=(v, e)).astype(np.float32)
+    preds = rng.normal(size=(b, q, e)).astype(np.float32)
+    gt = np.zeros((b, m), np.int64)
+    gt[0, :2] = [3, 7]
+    gt[1, :4] = [1, 9, 12, 20]
+    gt[2, :1] = [25]
+    with torch.no_grad():
+        loss_t = WordContrastiveLoss()(
+            torch.from_numpy(noun_embeds),
+            torch.from_numpy(preds),
+            torch.from_numpy(gt),
+        )
+    loss_j = word_contrastive_loss(
+        jnp.asarray(noun_embeds), jnp.asarray(preds), jnp.asarray(gt.astype(np.int32))
+    )
+    np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5, atol=1e-6)
+
+
+def test_inflate_temporal_embed_parity(rng):
+    """Bilinear 4->16 temporal inflation must match F.interpolate
+    (run/test_egtea.py:74-88: unsqueeze to an image, bilinear, squeeze)."""
+    te = rng.normal(size=(1, 4, 24)).astype(np.float32)
+    with torch.no_grad():
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(te).unsqueeze(0), (16, 24), mode="bilinear"
+        ).squeeze(0)
+    ours = inflate_temporal_embed(jnp.asarray(te), 16)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_inflate_temporal_embed_truncates(rng):
+    """More loaded frames than needed -> slice, not interpolate
+    (run/test_egtea.py:66-68)."""
+    te = rng.normal(size=(1, 16, 8)).astype(np.float32)
+    ours = inflate_temporal_embed(jnp.asarray(te), 4)
+    assert ours.shape == (1, 4, 8)

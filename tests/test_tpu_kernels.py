@@ -1,5 +1,5 @@
 """Real-TPU kernel tests (skipped off-TPU; CPU coverage is interpret-mode
-in test_flash_attention.py). Run on a TPU host with:
+in test_models.py pallas_interpret tests). Run on a TPU host with:
     python -m pytest tests/test_tpu_kernels.py -q
 """
 
