@@ -31,6 +31,79 @@ STEPS = 5
 # HH_BENCH_INT8=1 benchmarks the int8-quantized visual tower (+~22%;
 # retrieval parity on real weights pending — see TODO.md)
 INT8 = os.environ.get("HH_BENCH_INT8", "0") == "1"
+# HH_BENCH_TRAIN=0 skips the train-step line (eval headline is printed last
+# either way — the driver parses the final JSON line)
+TRAIN = os.environ.get("HH_BENCH_TRAIN", "1") == "1"
+
+
+def bench_train_step():
+    """Full pretraining step (frozen ViT-L fwd + decoder fwd/bwd + EgoNCE +
+    box/word losses + AdamW), 8 videos x 4 frames — the BENCH_NOTES train
+    profile, made reproducible (VERDICT r1 item 8)."""
+    from helping_hand_for_egocentric_videos_tpu.models import (
+        DecoderConfig,
+        init_decoder_params,
+        init_lavila_params,
+        timesformer_large_config,
+    )
+    from helping_hand_for_egocentric_videos_tpu.train import (
+        TrainConfig,
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    t, n_videos, r = 4, 8, 5
+    cfg = timesformer_large_config(num_frames=t)
+    dec_cfg = DecoderConfig(num_frames=t)
+    tcfg = TrainConfig()
+    key = jax.random.PRNGKey(0)
+    backbone = init_lavila_params(key, cfg)
+    decoder = init_decoder_params(key, dec_cfg)
+    optimizer = make_optimizer(tcfg)
+    state = TrainState(decoder, optimizer.init(decoder), jnp.zeros((), jnp.int32))
+
+    rng = np.random.default_rng(0)
+    tokens = np.zeros((n_videos * r, 77), np.int32)
+    tokens[:, 0] = 49406
+    tokens[:, 1:5] = rng.integers(1, 49000, size=(n_videos * r, 4))
+    tokens[:, 5] = 49407
+    batch = {
+        "video": jnp.asarray(
+            rng.normal(size=(n_videos, t, 224, 224, 3)).astype(np.float32)
+        ),
+        "tokens": jnp.asarray(tokens),
+        "noun_vec": jnp.asarray((rng.random((n_videos, 582)) < 0.02).astype(np.float32)),
+        "verb_vec": jnp.asarray((rng.random((n_videos, 118)) < 0.05).astype(np.float32)),
+        "boxes": jnp.asarray(
+            (rng.random((n_videos, t, 4, 4)) * 150).astype(np.float32)
+            + np.array([0, 0, 60, 60], np.float32)
+        ),
+        "nouns": jnp.asarray(rng.integers(0, 582, size=(n_videos, 4)).astype(np.int32)),
+    }
+    noun_dict = jnp.asarray(rng.normal(size=(582, 768)).astype(np.float32))
+
+    step = jax.jit(make_train_step(dec_cfg, cfg, tcfg, optimizer))
+    state, metrics = step(state, backbone, batch, noun_dict, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))  # warmup + sync
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step(state, backbone, batch, noun_dict, jax.random.PRNGKey(2))
+    float(metrics["total_loss"])  # device->host sync
+    dt = time.perf_counter() - t0
+    clips_per_sec = n_videos * STEPS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_clips_per_sec_per_chip_4f",
+                "value": round(clips_per_sec, 3),
+                "unit": "clips/s",
+                "vs_baseline": None,  # reference publishes no train throughput
+            }
+        ),
+        flush=True,
+    )
 
 
 def main():
@@ -95,4 +168,9 @@ def main():
 
 
 if __name__ == "__main__":
+    from helping_hand_for_egocentric_videos_tpu.cli.common import setup_compilation_cache
+
+    setup_compilation_cache()
+    if TRAIN:
+        bench_train_step()
     main()

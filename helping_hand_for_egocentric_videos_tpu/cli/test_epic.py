@@ -22,6 +22,12 @@ def main(argv=None):
     common.add_eval_args(p)
     p.add_argument("--split", default="test")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument(
+        "--out_sims",
+        default="",
+        help="optional .npz path for the raw + re-indexed similarity "
+        "matrices (the reference's torch.save, run/test_epic.py:263-265)",
+    )
     p.set_defaults(num_frames=16)
     args = p.parse_args(argv)
     common.print_env()
@@ -49,7 +55,13 @@ def main(argv=None):
         )
     )
     res = run_epic_mir(
-        model, ds, relevancy, indexes, batch_size=args.batch_size, progress=common.progress
+        model,
+        ds,
+        relevancy,
+        indexes,
+        batch_size=args.batch_size,
+        progress=common.progress,
+        out_sims=args.out_sims or None,
     )
     print(
         "nDCG: VT:{nDCG_VT:.3f} TV:{nDCG_TV:.3f} AVG:{nDCG_AVG:.3f}".format(**res)

@@ -83,6 +83,14 @@ class EgoClipConfig:
     crop_with_boxes: bool = False  # box-union crop aug (off upstream too)
     decode_res: tuple = (256, 256)  # decoded frame size fed to the device
     seed: int = 0
+    # train: iloc row range like the reference's subsample list
+    # (EgoClip_EgoMCQ_dataset.py:45-46); None = all rows
+    subsample: tuple | None = None
+    # val: keep the first K MCQ items of each type (balanced inter/intra
+    # subset for fast online eval). The reference's val-subset block
+    # (dataset:57-76) computes the union of all type-1 and type-2 keys —
+    # i.e. the full set — so 0 (= everything) is the parity default.
+    val_subsample: int = 0
 
 
 class EgoClipDataset:
@@ -117,6 +125,10 @@ class EgoClipDataset:
             self.metadata = pd.read_csv(
                 os.path.join(cfg.meta_dir, "egoclip.csv"), sep="\t", on_bad_lines="skip"
             )
+            if cfg.subsample is not None:
+                self.metadata = self.metadata.iloc[
+                    cfg.subsample[0] : cfg.subsample[1]
+                ].reset_index(drop=True)
             seg = (
                 self.metadata["video_uid"]
                 + "_"
@@ -130,6 +142,14 @@ class EgoClipDataset:
             with open(os.path.join(cfg.meta_dir, "egomcq.json")) as f:
                 self.metadata = json.load(f)
             self.metakeys = sorted(self.metadata.keys())
+            if cfg.val_subsample:
+                by_type: dict[int, list] = {}
+                for k in sorted(self.metakeys, key=lambda x: int(x)):
+                    by_type.setdefault(int(self.metadata[k]["types"]), []).append(k)
+                keep = set()
+                for keys in by_type.values():
+                    keep.update(keys[: cfg.val_subsample])
+                self.metakeys = sorted(keep)
 
     # ------------------------------------------------------------- paths
     def _video_paths(self, sample):

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 __all__ = [
     "load_torch_state_dict",
     "convert_lavila_checkpoint",
+    "convert_openai_clip_checkpoint",
     "convert_decoder_checkpoint",
     "inflate_temporal_embed",
 ]
@@ -146,6 +147,100 @@ def convert_lavila_checkpoint(sd: dict, visual_depth: int = 24, text_layers: int
     if "logit_scale" in sd:
         params["logit_scale"] = jnp.asarray(sd["logit_scale"])
     return params
+
+
+def convert_openai_clip_checkpoint(
+    sd: dict, num_frames: int = 4, project_embed_dim: int = 256, seed: int = 0
+):
+    """Raw OpenAI CLIP state dict -> our lavila params (TimeSformer inflation).
+
+    The from-scratch bootstrap the reference factory performs on every run
+    (run/train.py:425-431): ``remap_keys`` maps the CLIP ViT onto the
+    TimeSformer's spatial weights (model/LaviLa.py:19-53) and the temporal
+    pieces get the ``time_init='zeros'`` init (qkv zeroed, proj weight 1 —
+    L:236-242, so time attention starts as identity residual); the text
+    tower loads verbatim (L:161-164). Projections are taken from CLIP only
+    when their output dim equals ``project_embed_dim``; otherwise they are
+    freshly initialised with CLIP's init scheme (L:165-171, 637-640).
+
+    Args:
+        sd: numpy state dict with OpenAI CLIP keys (``visual.conv1.weight``,
+            ``visual.transformer.resblocks.*``, ``transformer.resblocks.*``,
+            ...), e.g. from ``load_torch_state_dict`` on a stock ViT-L/14.
+    """
+    depth = 1 + max(
+        int(k.split(".")[3])
+        for k in sd
+        if k.startswith("visual.transformer.resblocks.")
+    )
+    text_layers = 1 + max(
+        int(k.split(".")[2]) for k in sd if k.startswith("transformer.resblocks.")
+    )
+    width = sd["visual.class_embedding"].shape[-1]
+
+    out = {
+        "visual.patch_embed.proj.weight": sd["visual.conv1.weight"],
+        "visual.cls_token": sd["visual.class_embedding"].reshape(1, 1, width),
+        "visual.pos_embed": sd["visual.positional_embedding"][None],
+        "visual.temporal_embed": np.zeros((1, num_frames, width), np.float32),
+        "visual.ln_pre.weight": sd["visual.ln_pre.weight"],
+        "visual.ln_pre.bias": sd["visual.ln_pre.bias"],
+        "visual.norm.weight": sd["visual.ln_post.weight"],
+        "visual.norm.bias": sd["visual.ln_post.bias"],
+    }
+    for i in range(depth):
+        src = f"visual.transformer.resblocks.{i}"
+        dst = f"visual.blocks.{i}"
+        for s, d in (
+            ("ln_1", "norm1"),
+            ("ln_2", "norm2"),
+        ):
+            out[f"{dst}.{d}.weight"] = sd[f"{src}.{s}.weight"]
+            out[f"{dst}.{d}.bias"] = sd[f"{src}.{s}.bias"]
+        out[f"{dst}.attn.qkv.weight"] = sd[f"{src}.attn.in_proj_weight"]
+        out[f"{dst}.attn.qkv.bias"] = sd[f"{src}.attn.in_proj_bias"]
+        out[f"{dst}.attn.proj.weight"] = sd[f"{src}.attn.out_proj.weight"]
+        out[f"{dst}.attn.proj.bias"] = sd[f"{src}.attn.out_proj.bias"]
+        out[f"{dst}.mlp.fc1.weight"] = sd[f"{src}.mlp.c_fc.weight"]
+        out[f"{dst}.mlp.fc1.bias"] = sd[f"{src}.mlp.c_fc.bias"]
+        out[f"{dst}.mlp.fc2.weight"] = sd[f"{src}.mlp.c_proj.weight"]
+        out[f"{dst}.mlp.fc2.bias"] = sd[f"{src}.mlp.c_proj.bias"]
+        # time_init='zeros': identity time-attention residual at start
+        out[f"{dst}.norm3.weight"] = np.ones(width, np.float32)
+        out[f"{dst}.norm3.bias"] = np.zeros(width, np.float32)
+        out[f"{dst}.timeattn.qkv.weight"] = np.zeros((3 * width, width), np.float32)
+        out[f"{dst}.timeattn.qkv.bias"] = np.zeros(3 * width, np.float32)
+        out[f"{dst}.timeattn.proj.weight"] = np.ones((width, width), np.float32)
+        out[f"{dst}.timeattn.proj.bias"] = np.zeros(width, np.float32)
+
+    # text tower key names coincide with the LaviLa checkpoint layout
+    for k in sd:
+        if k.startswith(("transformer.", "token_embedding", "ln_final")) or k in (
+            "positional_embedding",
+            "logit_scale",
+        ):
+            out[k] = sd[k]
+
+    rng = np.random.default_rng(seed)
+    vis_proj = sd.get("visual.proj")
+    if vis_proj is not None and vis_proj.shape[1] == project_embed_dim:
+        out["image_projection"] = vis_proj
+    else:
+        out["image_projection"] = (
+            rng.standard_normal((width, project_embed_dim)).astype(np.float32)
+            * width**-0.5
+        )
+    txt_proj = sd.get("text_projection")
+    if txt_proj is not None and txt_proj.shape[1] != project_embed_dim:
+        tw = txt_proj.shape[0]
+        txt_proj = (
+            rng.standard_normal((tw, project_embed_dim)).astype(np.float32)
+            * tw**-0.5
+        )
+    if txt_proj is not None:
+        out["text_projection"] = txt_proj
+
+    return convert_lavila_checkpoint(out, visual_depth=depth, text_layers=text_layers)
 
 
 def convert_decoder_checkpoint(sd: dict, num_layers: int = 6):

@@ -118,12 +118,16 @@ def run_egomcq(
     limit: int | None = None,
     progress=None,
     items_per_batch: int = 4,
+    out_sims: str | None = None,
 ):
     """-> {'Intra-video': %, 'Inter-video': %}.
 
     The reference iterates bs=1 (one MCQ item = 5 candidate clips per
     step, run/test_EgoMCQ.py:56-58); here ``items_per_batch`` items are
     fused into one device batch of 5*K clips to amortise dispatch.
+    ``out_sims`` dumps an .npz of the raw per-item similarity rows, ground
+    truth and types for offline diffing (the reference saves an equivalent
+    .pth, run/test_EgoMCQ.py:119).
     """
     preds, gts, types = [], [], []
     n = len(dataset) if limit is None else min(limit, len(dataset))
@@ -153,6 +157,10 @@ def run_egomcq(
             progress(i, n)
     flush()
     preds = np.stack(preds)
+    if out_sims:
+        np.savez(
+            out_sims, sims=preds, gt=np.asarray(gts), types=np.asarray(types)
+        )
     metrics = egomcq_accuracy_metrics(preds, np.asarray(gts), np.asarray(types))
     metrics["n_items"] = n
     return metrics
@@ -165,9 +173,13 @@ def run_epic_mir(
     indexes: np.ndarray,
     batch_size: int = 8,
     progress=None,
+    out_sims: str | None = None,
 ):
     """-> dict of mAP/nDCG (VT/TV/AVG). ``relevancy``/``indexes`` are the
-    EPIC relevancy matrix and caption column re-index (test_epic.py:99-101)."""
+    EPIC relevancy matrix and caption column re-index (test_epic.py:99-101).
+    ``out_sims`` dumps an .npz with the raw text x video cosine matrix
+    (pre-postprocessing, what the reference torch.saves at
+    run/test_epic.py:263-265) plus the re-indexed matrix fed to nDCG/mAP."""
     text_embeds, vid_embeds = [], []
     n = len(dataset)
     buf_v, buf_t = [], []
@@ -196,7 +208,10 @@ def run_epic_mir(
     vid_embeds = np.concatenate(vid_embeds)
     sim = _cos(text_embeds, vid_embeds)  # (n_caps, n_vids)
 
+    raw_sim = sim
     sim = ((sim + 1) / 2).T[:, indexes]  # (n_vids, n_caps_selected)
+    if out_sims:
+        np.savez(out_sims, pred=raw_sim, processed=sim)
     k_v = calculate_k_counts(relevancy)
     idcg_v = calculate_IDCG(relevancy, k_v)
     k_t = calculate_k_counts(relevancy.T)

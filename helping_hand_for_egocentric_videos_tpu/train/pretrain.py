@@ -65,11 +65,22 @@ def build_models(cfg: ExperimentConfig, rng_seed: int = 0):
     key = jax.random.PRNGKey(rng_seed)
     if cfg.model.backbone_ckpt:
         sd = load_torch_state_dict(cfg.model.backbone_ckpt)
-        backbone = convert_lavila_checkpoint(
-            sd,
-            visual_depth=lavila_cfg.visual.depth,
-            text_layers=lavila_cfg.text.layers,
-        )
+        if "visual.class_embedding" in sd:
+            # stock OpenAI CLIP weights -> TimeSformer bootstrap, like the
+            # reference factory on from-scratch runs (run/train.py:425-431)
+            from ..models.weights import convert_openai_clip_checkpoint
+
+            backbone = convert_openai_clip_checkpoint(
+                sd,
+                num_frames=cfg.data.num_frames,
+                project_embed_dim=cfg.model.project_embed_dim,
+            )
+        else:
+            backbone = convert_lavila_checkpoint(
+                sd,
+                visual_depth=lavila_cfg.visual.depth,
+                text_layers=lavila_cfg.text.layers,
+            )
     else:
         backbone = init_lavila_params(key, lavila_cfg)
     if cfg.model.decoder_ckpt:

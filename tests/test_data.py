@@ -244,6 +244,31 @@ def test_mixed_shape_and_failed_decodes_stack(tmp_path):
     assert b["video"].shape == (4, 4, 32, 48, 3)
 
 
+def test_train_subsample_rows(egoclip_fixture):
+    meta, data = egoclip_fixture
+    ds = EgoClipDataset(
+        EgoClipConfig(
+            meta_dir=meta, data_dir=data, split="train", decode_res=(32, 48),
+            subsample=(1, 4),
+        )
+    )
+    assert len(ds) == 3
+
+
+def test_val_subsample_balanced(egoclip_fixture):
+    meta, data = egoclip_fixture
+    # fixture has 2 MCQ items, types 1 and 2 -> K=1 keeps one of each
+    ds = EgoClipDataset(
+        EgoClipConfig(
+            meta_dir=meta, data_dir=data, split="val", decode_res=(32, 48),
+            val_subsample=1,
+        )
+    )
+    assert len(ds) == 2
+    types = {ds[i]["type"] for i in range(len(ds))}
+    assert types == {1, 2}
+
+
 def test_sharded_sampler_partition():
     parts = []
     for host in range(4):

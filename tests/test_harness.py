@@ -133,15 +133,19 @@ def egoclip_fixture(tmp_path):
     return str(meta), str(data)
 
 
-def test_run_egomcq_tiny(egoclip_fixture):
+def test_run_egomcq_tiny(egoclip_fixture, tmp_path):
     meta, data = egoclip_fixture
     model = tiny_eval_model()
     ds = EgoClipDataset(
         EgoClipConfig(meta_dir=meta, data_dir=data, split="val", num_frames=4, input_res=RES)
     )
-    res = run_egomcq(model, ds)
+    sims_path = str(tmp_path / "egomcq_sims.npz")
+    res = run_egomcq(model, ds, out_sims=sims_path)
     assert set(res) >= {"Intra-video", "Inter-video"}
     assert 0 <= res["Inter-video"] <= 100
+    dump = np.load(sims_path)
+    assert dump["sims"].shape == (len(ds), 5)
+    assert dump["gt"].shape == (len(ds),) and dump["types"].shape == (len(ds),)
 
 
 def test_run_egomcq_mixed_decode_sizes(egoclip_fixture):

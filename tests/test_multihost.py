@@ -15,9 +15,6 @@ import pytest
 
 WORKER = r"""
 import os, sys
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,7 +57,11 @@ def test_two_process_distributed(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
+    # set platform env BEFORE the interpreter starts: a sitecustomize may
+    # import (and bind) jax before the worker script's first line runs
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid)],

@@ -541,6 +541,125 @@ def test_word_contrastive_parity(rng):
     np.testing.assert_allclose(float(loss_j), float(loss_t), rtol=1e-5, atol=1e-6)
 
 
+def test_openai_clip_bootstrap_parity(rng):
+    """Raw OpenAI CLIP -> TimeSformer bootstrap: our converter must match
+    the reference factory path — remap_keys + strict=False load with
+    time_init='zeros' (model/LaviLa.py:19-53, run/train.py:425-431) — and
+    the text tower must load verbatim."""
+    import model.openai_model as openai_model
+    from model.LaviLa import remap_keys
+
+    from helping_hand_for_egocentric_videos_tpu.models.weights import (
+        convert_openai_clip_checkpoint,
+    )
+
+    torch.manual_seed(7)
+    # vision_heads = width // 64 in the OpenAI wiring -> width 64, 1 head
+    clip = openai_model.CLIP(
+        embed_dim=16,
+        image_resolution=IMG,
+        vision_layers=2,
+        vision_width=64,
+        vision_patch_size=PATCH,
+        context_length=12,
+        vocab_size=64,
+        transformer_width=32,
+        transformer_heads=4,
+        transformer_layers=2,
+    ).float()
+    randomize_(clip, 8)
+    clip = clip.eval()
+
+    params = convert_openai_clip_checkpoint(
+        sd_np(clip), num_frames=T, project_embed_dim=16
+    )
+
+    # reference factory path as oracle: remapped CLIP weights into a
+    # TimeSformer with zero-init time attention
+    ref_tower = SpaceTimeTransformer(
+        img_size=IMG,
+        patch_size=PATCH,
+        embed_dim=64,
+        depth=2,
+        num_heads=1,
+        num_frames=T,
+        num_classes=0,
+        time_init="zeros",
+        attention_style="frozen-in-time",
+        ln_pre=True,
+        act_layer=QuickGELU,
+    ).eval()
+    remapped = remap_keys(clip.visual.state_dict(), transformer_layers=2)
+    res = ref_tower.load_state_dict(remapped, strict=False)
+    assert not res.unexpected_keys
+
+    video = rng.normal(size=(2, T, IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        cls_t, x_t = ref_tower.forward_features(
+            torch.from_numpy(video).permute(0, 1, 4, 2, 3)
+        )
+    cfg = SpaceTimeConfig(
+        img_size=IMG, patch_size=PATCH, width=64, depth=2, heads=1, num_frames=T
+    )
+    cls_j, x_j = spacetime_forward(
+        params["visual"], cfg, jnp.asarray(video), use_remat=False, dtype=jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(x_j), x_t.numpy(), rtol=1e-4, atol=2e-5)
+
+    # matching projection dims -> CLIP projections adopted verbatim
+    np.testing.assert_allclose(
+        np.asarray(params["image_projection"]), clip.visual.proj.detach().numpy()
+    )
+    with torch.no_grad():
+        proj_t = (cls_t @ clip.visual.proj).numpy()
+    np.testing.assert_allclose(
+        np.asarray(cls_j @ params["image_projection"]), proj_t, rtol=1e-4, atol=2e-5
+    )
+
+    # text tower verbatim: oracle = OpenAI CLIP encode_text
+    tokens = rand_tokens(rng, b=2)
+    with torch.no_grad():
+        txt_t = clip.encode_text(torch.from_numpy(tokens)).numpy()
+    tcfg = TextConfig(
+        vocab_size=64, context_length=12, width=32, heads=4, layers=2, embed_dim=16
+    )
+    txt_j, _ = encode_text(params["text"], tcfg, jnp.asarray(tokens.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(txt_j), txt_t, rtol=1e-4, atol=2e-5)
+
+
+def test_openai_bootstrap_mismatched_proj_dims(rng):
+    """project_embed_dim != CLIP embed dim -> fresh CLIP-scheme projections
+    (run/train.py factory keeps its random init, model/LaviLa.py:165-171)."""
+    import model.openai_model as openai_model
+
+    from helping_hand_for_egocentric_videos_tpu.models.weights import (
+        convert_openai_clip_checkpoint,
+    )
+
+    torch.manual_seed(9)
+    clip = openai_model.CLIP(
+        embed_dim=16,
+        image_resolution=IMG,
+        vision_layers=2,
+        vision_width=64,
+        vision_patch_size=PATCH,
+        context_length=12,
+        vocab_size=64,
+        transformer_width=32,
+        transformer_heads=4,
+        transformer_layers=2,
+    ).float()
+    params = convert_openai_clip_checkpoint(
+        sd_np(clip), num_frames=T, project_embed_dim=8
+    )
+    assert params["image_projection"].shape == (64, 8)
+    assert params["text"]["text_projection"].shape == (32, 8)
+    assert params["visual"]["temporal_embed"].shape == (1, T, 64)
+    # zero-init time attention: stacked block qkv all zero, proj all one
+    assert float(jnp.abs(params["visual"]["blocks"]["timeattn"]["qkv"]["w"]).max()) == 0
+    assert float(params["visual"]["blocks"]["timeattn"]["proj"]["w"].min()) == 1.0
+
+
 def test_inflate_temporal_embed_parity(rng):
     """Bilinear 4->16 temporal inflation must match F.interpolate
     (run/test_egtea.py:74-88: unsqueeze to an image, bilinear, squeeze)."""
