@@ -1,29 +1,45 @@
 """Pallas divided space-time attention, zero HBM transposes.
 
 The profiled bottleneck of the TimeSformer backbone on TPU is not the
-attention FLOPs (tiny) but the data movement around them: head-major
-transposes and grouped reshapes materialise the (B, S, D) activations in
-HBM several times per block. These kernels consume the *packed* qkv
-activation exactly as the qkv matmul produces it — (B, T, N, 3D) — and do
-all head splitting, CLS broadcast, softmax and value contraction in VMEM:
+attention FLOPs (tiny — all MXU dots together are a few ms/iter) but VPU
+element count and data movement: head-major transposes and grouped
+reshapes materialise the (B, S, D) activations in HBM several times per
+block, and every elementwise pass over the f32 logits costs real wall
+time. These kernels consume the *packed* qkv activation exactly as the
+qkv matmul produces it — (B, T, N, 3D) — and do all head splitting, CLS
+broadcast, softmax and value contraction in VMEM.
 
-- spatial mode: grid (B, T); one frame's (N, 3D) qkv tile per program;
-  per head: (N, dh) x (N+1, dh) attention with the frame-broadcast CLS
-  key/value merged via streaming-softmax algebra (reference semantics,
+Both modes run the same "rows" kernel over a flat (R, 3D) tile:
+
+- spatial mode: grid (B, T); one frame's tile, R = N rows; per head one
+  (R, R) logits dot on the MXU, with the frame-broadcast CLS key/value
+  column merged via streaming-softmax algebra (reference semantics,
   model/LaviLa.py:254-270).
-- temporal mode: grid (B, N/Nb); a (T, Nb, 3D) patch-tube tile per
-  program; per head an in-VMEM transpose to (Nb, T, dh) feeds a batched
-  MXU dot (measured faster than head-major HBM pre-transposes and than a
-  transpose-free VPU contraction — see BENCH_NOTES.md).
+- temporal mode: grid (B, N/Nb); a (T, Nb, 3D) patch-tube tile flattened
+  t-major to R = T*Nb rows, with a periodic block-diagonal mask
+  (row % Nb == col % Nb keeps same-patch pairs) added to the logits.
+  Masked probabilities are exactly zero, so the value contraction is
+  exact. This wastes Nb x the attention FLOPs but replaces per-head VMEM
+  transposes + tiny (T, T) batched dots with one full-size MXU dot per
+  head — measured ~1.6x faster at ViT-L eval shapes (BENCH_NOTES.md).
 
 The CLS *query* (which attends over the full 1 + T*N sequence,
-L:257-258) is also computed here: every program emits streaming-softmax
-partials (running max / sum-exp / weighted values) for its tile, and the
-caller merges them in XLA — so the packed qkv is read exactly once and no
-(B, S, D) key/value slices ever materialise in HBM.
+L:257-258) rides along as one extra row: the kernel appends the packed
+CLS row [cq|ck|cv] to the tile, so every per-head logits dot computes the
+CLS query's logits over this tile's keys as row R at +1/R cost, and the
+unnormalised value contraction appears as row R of the same probs @ v
+dot. Each program emits those streaming-softmax partials (running max /
+sum-exp / weighted values, self-logit excluded) into per-head sublane
+slots — no lane-offset concats — and the caller merges them in XLA. The
+packed qkv is thus read exactly once and no (B, S, D) key/value slices
+ever materialise in HBM.
 
 HBM traffic per attention: read qkv once, write the (B, T, N, D) output
 once (+ tiny partial tensors).
+
+All dots pin ``precision=DEFAULT``: a global jax_default_matmul_precision
+override ('highest') otherwise reaches the kernel body and makes Mosaic
+reject the bf16 matmuls.
 """
 
 from __future__ import annotations
@@ -37,140 +53,93 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["divided_patch_attention", "merge_cls_partials"]
 
-
-def _merge_cls_softmax(logits_patch, logit_cls, v, cv, dtype):
-    """softmax over [cls | patch] columns without materialising a concat.
-
-    logits_patch (..., Q, K) f32, logit_cls (..., Q, 1) f32,
-    v (..., K, dh), cv (..., 1, dh) -> (..., Q, dh) f32.
-    """
-    m = jnp.maximum(jnp.max(logits_patch, axis=-1, keepdims=True), logit_cls)
-    e_p = jnp.exp(logits_patch - m)
-    e_c = jnp.exp(logit_cls - m)
-    denom = jnp.sum(e_p, axis=-1, keepdims=True) + e_c
-    out = jax.lax.dot_general(
-        e_p.astype(dtype),
-        v,
-        (((e_p.ndim - 1,), (v.ndim - 2,)), (tuple(range(e_p.ndim - 2)),) * 2),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
-    )
-    out = out + e_c * cv.astype(jnp.float32)
-    return out / denom
+_PREC = jax.lax.Precision.DEFAULT
 
 
-def _cls_partials(k_rows, v_rows, cq, scale):
-    """Streaming-softmax partials of the CLS query over this tile's keys.
-
-    k_rows/v_rows (R, dh), cq (1, dh) -> (m (1,1), s (1,1), o (1,dh) f32).
-    """
-    l = scale * jnp.sum((k_rows * cq).astype(jnp.float32), axis=-1, keepdims=True)
-    m = jnp.max(l, axis=0, keepdims=True)  # (1, 1)
-    e = jnp.exp(l - m)  # (R, 1)
-    s = jnp.sum(e, axis=0, keepdims=True)  # (1, 1)
-    o = jnp.sum(e * v_rows.astype(jnp.float32), axis=0, keepdims=True)  # (1, dh)
-    return m, s, o
-
-
-def _write_partials(m_ref, s_ref, co_ref, idx, ms, ss, cos, heads):
-    pad = 128 - heads
-    m_row = jnp.pad(jnp.concatenate(ms, axis=1), ((0, 0), (0, pad)))
-    s_row = jnp.pad(jnp.concatenate(ss, axis=1), ((0, 0), (0, pad)))
-    co_row = jnp.concatenate(cos, axis=1)  # (1, D)
-    m_ref[idx] = jnp.broadcast_to(m_row, (8, 128))
-    s_ref[idx] = jnp.broadcast_to(s_row, (8, 128))
-    co_ref[idx] = jnp.broadcast_to(co_row, (8, co_row.shape[1]))
-
-
-def _spatial_kernel(
-    qkv_ref, clsk_ref, clsv_ref, clsq_ref, o_ref, m_ref, s_ref, co_ref, *, heads, dh, scale
+def _rows_kernel(
+    qkv_ref, cls_ref, o_ref, m_ref, s_ref, co_ref, *, heads, dh, scale, nb, t
 ):
-    tile = qkv_ref[0, 0]  # (N, 3D)
+    """One tile of divided attention on flat rows (+ CLS query row).
+
+    nb=None -> spatial (tile (1, N, 3D)); nb=int -> temporal (tile
+    (T, Nb, 3D), flattened t-major with a periodic same-patch mask).
+    """
     d = heads * dh
-    ms, ss, cos = [], [], []
+    tile = qkv_ref[0]
+    r = tile.shape[0] * tile.shape[1] if nb is not None else tile.shape[1]
+    # one sublane concat per program: rows + the packed [cq|ck|cv] row
+    rows = jnp.concatenate([tile.reshape(r, 3 * d), cls_ref[0]], axis=0)
+    ra = r + 1
+
+    if nb is not None and nb > 1:
+        # same-patch visibility for patch rows; the CLS-query row (r) sees
+        # every patch key
+        ri = jax.lax.broadcasted_iota(jnp.int32, (ra, r), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (ra, r), 1)
+        neg = jnp.where(((ri % nb) == (ci % nb)) | (ri == r), 0.0, -1e30)
+    else:
+        neg = None
+    # CLS-key logit column: valid for patch rows; -inf at the CLS-query
+    # row so the emitted partials exclude the self term (merge adds it
+    # exactly once globally)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (ra, 1), 0)
+    self_mask = jnp.where(row_i == r, -1e30, 0.0)  # (RA, 1)
+
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
-        q = tile[:, sl]
-        k = tile[:, d + h * dh : d + (h + 1) * dh]
-        v = tile[:, 2 * d + h * dh : 2 * d + (h + 1) * dh]
-        ck = clsk_ref[0, :, sl]  # (1, dh)
-        cv = clsv_ref[0, :, sl]
+        q = rows[:, sl]  # (RA, dh) — last row is the CLS query
+        k = rows[:r, d + h * dh : d + (h + 1) * dh]  # (R, dh) patch keys
+        v = rows[:r, 2 * d + h * dh : 2 * d + (h + 1) * dh]
+        ck = rows[r:, d + h * dh : d + (h + 1) * dh]  # (1, dh)
+        cv = rows[r:, 2 * d + h * dh : 2 * d + (h + 1) * dh]
         # scale applied to the f32 logits (== scaling q, softmax-invariant)
         logits = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )  # (N, N)
-        # single-column dot lowered as multiply-reduce (Mosaic rejects a
-        # (N, 1) dot_general output on this toolchain)
-        logit_cls = scale * jnp.sum(
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )  # (RA, R)
+        if neg is not None:
+            logits = logits + neg
+        lc = scale * jnp.sum(
             (q * ck).astype(jnp.float32), axis=-1, keepdims=True
-        )  # (N, 1)
-        out = _merge_cls_softmax(logits, logit_cls, v, cv, tile.dtype)
-        o_ref[0, 0, :, sl] = out.astype(o_ref.dtype)
-
-        m_h, s_h, o_h = _cls_partials(k, v, clsq_ref[0, :, sl], scale)
-        ms.append(m_h)
-        ss.append(s_h)
-        cos.append(o_h)
-    _write_partials(m_ref, s_ref, co_ref, (0, 0), ms, ss, cos, heads)
-
-
-def _temporal_kernel(
-    qkv_ref, clsk_ref, clsv_ref, clsq_ref, o_ref, m_ref, s_ref, co_ref, *, heads, dh, scale
-):
-    """Per-patch attention over T frames on the natural packed-qkv tile."""
-    tile = qkv_ref[0]  # (T, Nb, 3D)
-    d = heads * dh
-    t, nb = tile.shape[0], tile.shape[1]
-    ms, ss, cos = [], [], []
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        k3 = tile[:, :, d + h * dh : d + (h + 1) * dh]
-        v3 = tile[:, :, 2 * d + h * dh : 2 * d + (h + 1) * dh]
-        q = tile[:, :, sl].transpose(1, 0, 2)  # (Nb, T, dh) — VMEM transpose
-        k = k3.transpose(1, 0, 2)
-        v = v3.transpose(1, 0, 2)
-        ck = clsk_ref[0, :, sl]  # (1, dh)
-        cv = clsv_ref[0, :, sl][None]  # (1, 1, dh)
-        logits = scale * jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )  # (Nb, T, T)
-        logit_cls = scale * jnp.sum(
-            (q * ck[None]).astype(jnp.float32), axis=-1, keepdims=True
-        )  # (Nb, T, 1)
-        out = _merge_cls_softmax(logits, logit_cls, v, cv, tile.dtype)
-        o_ref[0, :, :, sl] = out.transpose(1, 0, 2).astype(o_ref.dtype)
-
-        m_h, s_h, o_h = _cls_partials(
-            k3.reshape(t * nb, dh), v3.reshape(t * nb, dh), clsq_ref[0, :, sl], scale
-        )
-        ms.append(m_h)
-        ss.append(s_h)
-        cos.append(o_h)
-    _write_partials(m_ref, s_ref, co_ref, (0, 0), ms, ss, cos, heads)
+        ) + self_mask  # (RA, 1)
+        # softmax over [cls | visible rows] without materialising a concat
+        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), lc)
+        e_p = jnp.exp(logits - m)
+        e_c = jnp.exp(lc - m)
+        den = jnp.sum(e_p, axis=-1, keepdims=True) + e_c
+        raw = jax.lax.dot_general(
+            e_p.astype(rows.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )  # (RA, dh)
+        out = (raw[:r] + e_c[:r] * cv.astype(jnp.float32)) / den[:r]
+        if nb is None:
+            o_ref[0, 0, :, sl] = out.astype(o_ref.dtype)
+        else:
+            o_ref[0, :, :, sl] = out.reshape(t, nb, dh).astype(o_ref.dtype)
+        # CLS streaming partials = row r (e_c[r] is exp(-1e30 - m) == 0,
+        # so den[r]/raw[r] cover the patch keys only)
+        m_ref[0, 0, h : h + 1, :] = m[r:]
+        s_ref[0, 0, h : h + 1, :] = den[r:]
+        co_ref[0, 0, h : h + 1, :] = raw[r:]
 
 
 def merge_cls_partials(m, s, co, cls_q, cls_k, cls_v, heads: int):
     """Combine per-tile CLS partials with the CLS self-attention term.
 
-    m/s (B, G, 8, 128) f32 (row 0 valid, first ``heads`` lanes), co
-    (B, G, 8, D); cls_q/k/v (B, D) unscaled -> (B, D) attention output of
-    the CLS query over [cls | all patch tokens].
+    m/s (B, G, H, 1) f32, co (B, G, H, dh) f32; cls_q/k/v (B, D) unscaled
+    -> (B, D) attention output of the CLS query over
+    [cls | all patch tokens].
     """
-    b = m.shape[0]
-    m = m[:, :, 0, :heads]  # (B, G, H)
-    s = s[:, :, 0, :heads]
-    d = co.shape[-1]
+    b, g = m.shape[:2]
+    m = m[..., 0]  # (B, G, H)
+    s = s[..., 0]
+    d = co.shape[-1] * heads
     dh = d // heads
-    co = co[:, :, 0, :].reshape(b, -1, heads, dh)  # (B, G, H, dh)
-    scale = dh**-0.5
 
     cqh = cls_q.reshape(b, heads, dh).astype(jnp.float32)
     ckh = cls_k.reshape(b, heads, dh).astype(jnp.float32)
     cvh = cls_v.reshape(b, heads, dh).astype(jnp.float32)
+    scale = dh**-0.5
     l_self = scale * jnp.sum(cqh * ckh, axis=-1)  # (B, H)
 
     m_g = jnp.maximum(jnp.max(m, axis=1), l_self)  # (B, H)
@@ -181,8 +150,21 @@ def merge_cls_partials(m, s, co, cls_q, cls_k, cls_v, heads: int):
     return (num / denom[..., None]).reshape(b, d)
 
 
+def _temporal_block(t: int, n: int) -> int:
+    """Patch-block size: R = t*nb rows per tile, targeting R = 256 (the
+    measured sweet spot — one (256, 256) masked dot per head beats tiny
+    batched (T, T) dots and beats R = 128 tiles, BENCH_NOTES.md)."""
+    nb = max(1, 256 // t)
+    nb = min(nb, n)
+    # Pallas constraint: the block's second-to-last dim (nb) must be a
+    # multiple of 8 or equal to the full array dim (n)
+    while nb > 1 and (n % nb or nb % 8):
+        nb -= 1
+    return nb if nb > 1 else n
+
+
 @functools.partial(
-    jax.jit, static_argnames=("mode", "heads", "patch_block", "interpret")
+    jax.jit, static_argnames=("mode", "heads", "interpret")
 )
 def divided_patch_attention(
     qkv,
@@ -192,7 +174,6 @@ def divided_patch_attention(
     *,
     mode: str,
     heads: int,
-    patch_block: int = 128,
     interpret: bool = False,
 ):
     """Patch-token divided attention on packed qkv (+ CLS partials).
@@ -206,7 +187,7 @@ def divided_patch_attention(
             over the patch keys, merged with ``merge_cls_partials``.
     Returns:
         (B, T, N, D) patch output, and — when cls_q is given —
-        (m, s, co) partial tensors shaped (B, G, 8, 128/128/D).
+        (m, s, co) partial tensors shaped (B, G, H, 1/1/dh).
     """
     b, t, n, d3 = qkv.shape
     d = d3 // 3
@@ -217,43 +198,41 @@ def divided_patch_attention(
         cls_q = jnp.zeros_like(cls_k)
 
     if mode == "space":
-        kernel = functools.partial(_spatial_kernel, heads=heads, dh=dh, scale=scale)
+        kernel = functools.partial(
+            _rows_kernel, heads=heads, dh=dh, scale=scale, nb=None, t=t
+        )
         grid = (b, t)
         g = t
         qkv_spec = pl.BlockSpec((1, 1, n, d3), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((1, 1, n, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
-        part_spec = lambda w: pl.BlockSpec(  # noqa: E731
-            (1, 1, 8, w), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
-        )
     else:
-        # temporal: blocked over patches; per-head VMEM temporaries scale
-        # with t*nb, so the patch block stays modest (long clips shrink it).
-        nb = min(patch_block, 32 if t <= 8 else 16, n)
-        while n % nb:
-            nb -= 1
-        kernel = functools.partial(_temporal_kernel, heads=heads, dh=dh, scale=scale)
+        nb = _temporal_block(t, n)
+        kernel = functools.partial(
+            _rows_kernel, heads=heads, dh=dh, scale=scale, nb=nb, t=t
+        )
         grid = (b, n // nb)
         g = n // nb
         qkv_spec = pl.BlockSpec((1, t, nb, d3), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((1, t, nb, d), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM)
-        part_spec = lambda w: pl.BlockSpec(  # noqa: E731
-            (1, 1, 8, w), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
-        )
 
-    cls_spec = pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    part_spec = lambda w: pl.BlockSpec(  # noqa: E731
+        (1, 1, heads, w), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    cls_spec = pl.BlockSpec((1, 1, d3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    cls_row = jnp.concatenate([cls_q, cls_k, cls_v], axis=-1)[:, None, :]
     out, m, s, co = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[qkv_spec, cls_spec, cls_spec, cls_spec],
-        out_specs=[out_spec, part_spec(128), part_spec(128), part_spec(d)],
+        in_specs=[qkv_spec, cls_spec],
+        out_specs=[out_spec, part_spec(1), part_spec(1), part_spec(dh)],
         out_shape=[
             jax.ShapeDtypeStruct((b, t, n, d), qkv.dtype),
-            jax.ShapeDtypeStruct((b, g, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((b, g, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((b, g, 8, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, g, heads, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, g, heads, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, g, heads, dh), jnp.float32),
         ],
         interpret=interpret,
-    )(qkv, cls_k[:, None, :], cls_v[:, None, :], cls_q[:, None, :])
+    )(qkv, cls_row)
     if want_partials:
         return out, (m, s, co)
     return out

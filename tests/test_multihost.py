@@ -62,6 +62,12 @@ def test_two_process_distributed(tmp_path):
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # the worker script lives under tmp_path, so the repo root must be on
+    # PYTHONPATH explicitly (cwd is not added for script execution)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH", "")) if p
+    )
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid)],
