@@ -35,13 +35,15 @@ from typing import Sequence
 
 import numpy as np
 
-from .samplers import get_frame_ids
+from .samplers import get_frame_ids, sample_frames, sample_frames_start_end
 from . import native
 
 __all__ = [
     "available_backends",
     "read_clip_chunked",
+    "read_clip_seconds",
     "read_jpeg_frames",
+    "read_jpeg_paths",
     "read_frames_at",
     "resize_frames",
     "DECODE_RES",
@@ -240,6 +242,60 @@ def _exists_any(path: str) -> bool:
         os.path.exists(c)
         for c in (path, path + ".npy", os.path.splitext(path)[0] + ".npy")
     )
+
+
+def read_clip_seconds(
+    path: str,
+    num_frames: int,
+    *,
+    sample: str = "uniform",
+    start_sec: float | None = None,
+    end_sec: float | None = None,
+    fps: float = 30.0,
+    rng=None,
+) -> tuple[np.ndarray, list[int]]:
+    """Charades-style whole-file / seconds-window reader
+    (read_frames_cv2_charades, base/base_dataset.py:408-438): samples
+    ``num_frames`` across the full video, or across the [start_sec,
+    end_sec] frame window when given. Returns (frames u8, frame ids)."""
+    npy = _maybe_npy(path)
+    vlen = len(npy) if npy is not None else _video_num_frames(path)
+    if not vlen:
+        raise RuntimeError(f"cannot determine frame count of {path}")
+    if start_sec is None and end_sec is None:
+        ids = sample_frames(num_frames, vlen, sample=sample, rng=rng)
+    else:
+        start_f = max(0, int((start_sec or 0.0) * fps))
+        end_f = min(int((end_sec if end_sec is not None else vlen / fps) * fps), vlen)
+        ids = sample_frames_start_end(num_frames, start_f, end_f, sample=sample, rng=rng)
+    return read_frames_at(path, ids, fps), list(ids)
+
+
+def read_jpeg_paths(
+    paths: Sequence[str],
+    num_frames: int | None = None,
+    *,
+    sample: str = "uniform",
+    rng=None,
+) -> tuple[np.ndarray, list[int]]:
+    """Something-Something-style explicit frame-path-list reader
+    (read_frames_sth, base/base_dataset.py:455-470): samples
+    ``num_frames`` of the given JPEG paths (all of them when None).
+    Returns (frames u8 (T, H, W, C), sampled indices)."""
+    if num_frames is None:
+        ids = list(range(len(paths)))
+    else:
+        ids = list(sample_frames(num_frames, len(paths), sample=sample, rng=rng))
+    chosen = [paths[i] for i in ids]
+    try:
+        h, w = native.jpeg_dims(chosen[0])
+        return native.decode_jpeg_batch(chosen, h, w), ids
+    except native.NativeUnavailable:
+        from PIL import Image
+
+        return np.stack(
+            [np.asarray(Image.open(p).convert("RGB")) for p in chosen]
+        ), ids
 
 
 def read_jpeg_frames(

@@ -9,6 +9,15 @@ from .obj_decoder import (
     txt_proj,
     vid_proj,
 )
+from .clip_image import (
+    ClipResNetConfig,
+    ClipVitConfig,
+    clip_image_tower_from_state_dict,
+    clip_resnet_encode,
+    clip_vit_encode,
+    init_clip_resnet_params,
+    init_clip_vit_params,
+)
 from .lavila import (
     LavilaConfig,
     encode_image,
@@ -19,6 +28,13 @@ from .lavila import (
 )
 
 __all__ = [
+    "ClipResNetConfig",
+    "ClipVitConfig",
+    "clip_image_tower_from_state_dict",
+    "clip_resnet_encode",
+    "clip_vit_encode",
+    "init_clip_resnet_params",
+    "init_clip_vit_params",
     "TextConfig",
     "encode_text",
     "init_text_params",

@@ -94,10 +94,11 @@ def spatial_crops(
     std=LAVILA_STD,
     dtype=jnp.float32,
 ):
-    """LaviLa-style SpatialCrop: shorter-side resize then 1 (center) or 3
-    (left/center/right along the longer axis) crops.
+    """LaviLa-style SpatialCrop: shorter-side resize then 1 (center), 3
+    (left/center/right along the longer axis), or 6 (the 3 crops plus the
+    same 3 of the horizontally flipped clip) crops.
 
-    Matches data_loader/lavila_transforms.py:121-169 (used by the EGTEA
+    Matches data_loader/lavila_transforms.py:121-186 (used by the EGTEA
     harness; the paper protocol uses num_crops=1). Returns
     (num_crops, ..., crop, crop, C) normalised float.
     """
@@ -109,18 +110,22 @@ def spatial_crops(
         nh, nw = max(int(round(h * short / w)), short), short
     x = jax.image.resize(x, (*lead, nh, nw, c), method="bilinear")
 
-    def crop_at(top, left):
-        return x[..., top : top + crop, left : left + crop, :]
+    def crop_at(src, top, left):
+        return src[..., top : top + crop, left : left + crop, :]
 
     if num_crops == 1:
         offs = [((nh - crop) // 2, (nw - crop) // 2)]
-    elif num_crops == 3:
+    elif num_crops in (3, 6):
         if nw >= nh:  # wide: left / center / right
             offs = [((nh - crop) // 2, 0), ((nh - crop) // 2, (nw - crop) // 2), ((nh - crop) // 2, nw - crop)]
         else:  # tall: top / center / bottom
             offs = [(0, (nw - crop) // 2), ((nh - crop) // 2, (nw - crop) // 2), (nh - crop, (nw - crop) // 2)]
     else:
-        raise ValueError("num_crops must be 1 or 3")
+        raise ValueError("num_crops must be 1, 3 or 6")
 
-    crops = jnp.stack([crop_at(t, l) for t, l in offs])
+    crops = [crop_at(x, t, l) for t, l in offs]
+    if num_crops == 6:  # + the same crops of the h-flipped clip (LT:179-185)
+        xf = jnp.flip(x, axis=-2)
+        crops += [crop_at(xf, t, l) for t, l in offs]
+    crops = jnp.stack(crops)
     return _norm(crops, mean, std)

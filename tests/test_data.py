@@ -325,3 +325,46 @@ def test_egoclip_crop_with_boxes(egoclip_fixture):
     item = ds[0]
     assert item["video"].shape == (4, 32, 48, 3)  # fixed shape maintained
     assert (item["boxes"] <= 224).all() and (item["boxes"] >= 0).all()
+
+
+def test_read_clip_seconds_charades_semantics(tmp_path):
+    """read_clip_seconds == read_frames_cv2_charades (base_dataset.py:408-438):
+    whole-file segment sampling, or a [start_sec, end_sec] frame window."""
+    from helping_hand_for_egocentric_videos_tpu.data.video import read_clip_seconds
+
+    rng = np.random.default_rng(0)
+    clip = (rng.random((90, 8, 8, 3)) * 255).astype(np.uint8)
+    np.save(tmp_path / "v.mp4.npy", clip)
+    path = str(tmp_path / "v.mp4")
+
+    frames, ids = read_clip_seconds(path, 4, sample="uniform")
+    assert frames.shape == (4, 8, 8, 3) and ids == [10, 33, 55, 78]
+    np.testing.assert_array_equal(frames, clip[ids])
+
+    frames, ids = read_clip_seconds(
+        path, 4, sample="uniform", start_sec=1.0, end_sec=2.0, fps=30.0
+    )
+    assert all(29 <= i <= 60 for i in ids)
+    np.testing.assert_array_equal(frames, clip[ids])
+
+
+def test_read_jpeg_paths_sth_semantics(tmp_path):
+    """read_jpeg_paths == read_frames_sth (base_dataset.py:455-470):
+    explicit frame-path list, segment-sampled."""
+    from PIL import Image
+
+    from helping_hand_for_egocentric_videos_tpu.data.video import read_jpeg_paths
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(10):
+        arr = (rng.random((8, 8, 3)) * 255).astype(np.uint8)
+        p = tmp_path / f"img_{i}.jpg"
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(str(p))
+
+    frames, ids = read_jpeg_paths(paths, 4, sample="uniform")
+    assert frames.shape == (4, 8, 8, 3) and len(ids) == 4
+    all_frames, all_ids = read_jpeg_paths(paths)
+    assert all_frames.shape == (10, 8, 8, 3) and all_ids == list(range(10))
+    np.testing.assert_array_equal(all_frames[ids], frames)

@@ -118,3 +118,31 @@ def test_classification_metrics():
     scores = np.array([[0.9, 0.05, 0.05], [0.1, 0.2, 0.7]])
     top1_, top2_ = topk_accuracy(scores, np.array([0, 1]), ks=(1, 2))
     assert top1_ == 50.0 and top2_ == 100.0
+
+
+def test_path_vis_grid_colors():
+    """visualise_path semantics (reference utils/visualisation.py:8-38):
+    GT cells blue, predictions green on GT / red off GT, NaN cells grey."""
+    import numpy as np
+
+    from helping_hand_for_egocentric_videos_tpu.utils.path_vis import (
+        batch_path_vis,
+        visualise_path,
+    )
+
+    window = np.ones((3, 4), np.float32)
+    window[0, 3] = np.nan
+    target = [(0, 0), (1, 1), (2, 2)]
+    pred = [(0, 0), (1, 2)]  # hit on (0,0), miss at (1,2)
+    g = visualise_path(pred, target, window)
+    assert g.shape == (3, 3, 4)
+    np.testing.assert_allclose(g[:, 0, 0] * 255, (64, 191, 64))  # TP green
+    np.testing.assert_allclose(g[:, 1, 2] * 255, (191, 64, 64))  # FP red
+    np.testing.assert_allclose(g[:, 1, 1] * 255, (102, 153, 255))  # GT blue
+    np.testing.assert_allclose(g[:, 0, 3] * 255, (130, 130, 130))  # NaN grey
+    np.testing.assert_allclose(g[:, 2, 3] * 255, (255, 255, 255))  # empty
+
+    batch = batch_path_vis({"dtw": pred, "min_dist": pred}, target, window)
+    assert batch.shape == (2, 3, 3, 4)
+    # min_dist ignores the validity window
+    np.testing.assert_allclose(batch[1][:, 0, 3] * 255, (255, 255, 255))

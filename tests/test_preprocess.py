@@ -73,3 +73,22 @@ def test_config_json_roundtrip(tmp_path):
     p.write_text(cfg.to_json())
     back = ExperimentConfig.from_json(str(p))
     assert back.name == "abc" and back.data.batch_size == 7
+
+
+def test_spatial_crops_six_includes_flips(rng):
+    """num_crops=6 = the 3 positional crops + the same 3 of the h-flipped
+    clip (lavila_transforms.py:148-154,179-185)."""
+    import jax.numpy as jnp
+
+    from helping_hand_for_egocentric_videos_tpu.ops.preprocess import spatial_crops
+
+    v = (rng.random((1, 2, 64, 96, 3)) * 255).astype("uint8")
+    three = spatial_crops(jnp.asarray(v), crop=32, num_crops=3, short=32)
+    six = spatial_crops(jnp.asarray(v), crop=32, num_crops=6, short=32)
+    assert six.shape == (6, 1, 2, 32, 32, 3) and three.shape[0] == 3
+    np.testing.assert_allclose(np.asarray(six[:3]), np.asarray(three), atol=1e-6)
+    # crop 3 (flipped left crop) == mirror of the right crop of the
+    # un-flipped clip
+    np.testing.assert_allclose(
+        np.asarray(six[3]), np.asarray(three[2][..., ::-1, :]), atol=1e-5
+    )

@@ -678,3 +678,77 @@ def test_inflate_temporal_embed_truncates(rng):
     te = rng.normal(size=(1, 16, 8)).astype(np.float32)
     ours = inflate_temporal_embed(jnp.asarray(te), 4)
     assert ours.shape == (1, 4, 8)
+
+
+def test_clip_vit_image_tower_parity(rng):
+    """OpenAI CLIP VisionTransformer (openai_model.py:235-273) vs
+    models/clip_image.py: CLS embedding (projected and raw) and the
+    cls_at_last=False patch feature map."""
+    from model.openai_model import VisionTransformer
+
+    from helping_hand_for_egocentric_videos_tpu.models.clip_image import (
+        clip_vit_encode,
+        convert_openai_vit_tower,
+    )
+
+    torch.manual_seed(0)
+    # width 128 -> the converter's build_model-style head sniffing
+    # (width // 64, openai_model.py:470) matches the constructed heads=2
+    ref = VisionTransformer(
+        input_resolution=56, patch_size=14, width=128, layers=3, heads=2, output_dim=32
+    ).eval()
+    cfg, params = convert_openai_vit_tower(ref.state_dict(), prefix="")
+    assert (cfg.width, cfg.layers, cfg.patch_size, cfg.output_dim, cfg.heads) == (
+        128, 3, 14, 32, 2,
+    )
+
+    imgs = rng.normal(size=(2, 56, 56, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(imgs).permute(0, 3, 1, 2)).numpy()
+        want_raw = ref(
+            torch.from_numpy(imgs).permute(0, 3, 1, 2), apply_project=False
+        ).numpy()
+        want_map = ref(
+            torch.from_numpy(imgs).permute(0, 3, 1, 2), cls_at_last=False
+        ).numpy()
+
+    got = np.asarray(clip_vit_encode(params, cfg, jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    got_raw = np.asarray(
+        clip_vit_encode(params, cfg, jnp.asarray(imgs), apply_project=False)
+    )
+    np.testing.assert_allclose(got_raw, want_raw, atol=2e-5)
+    got_map = np.asarray(
+        clip_vit_encode(params, cfg, jnp.asarray(imgs), cls_at_last=False)
+    )
+    np.testing.assert_allclose(got_map, want_map, atol=2e-5)
+
+
+def test_clip_resnet_image_tower_parity(rng):
+    """OpenAI CLIP ModifiedResNet + AttentionPool2d (openai_model.py:21-165)
+    vs models/clip_image.py, including the anti-aliased downsample path."""
+    from model.openai_model import ModifiedResNet
+
+    from helping_hand_for_egocentric_videos_tpu.models.clip_image import (
+        clip_resnet_encode,
+        convert_openai_resnet_tower,
+    )
+
+    torch.manual_seed(0)
+    ref = ModifiedResNet(
+        layers=(1, 1, 1, 1), output_dim=32, heads=4, input_resolution=64, width=8
+    ).eval()
+    # randomize BN running stats so inference-mode BN is actually exercised
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+    cfg, params = convert_openai_resnet_tower(ref.state_dict(), prefix="")
+    assert cfg.layers == (1, 1, 1, 1) and cfg.width == 8 and cfg.output_dim == 32
+
+    imgs = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(imgs).permute(0, 3, 1, 2)).numpy()
+    got = np.asarray(clip_resnet_encode(params, cfg, jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, atol=3e-5)
