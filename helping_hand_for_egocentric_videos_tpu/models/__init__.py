@@ -18,6 +18,7 @@ from .clip_image import (
     init_clip_resnet_params,
     init_clip_vit_params,
 )
+from .zoo import available_models, clip_preprocess, load_clip
 from .lavila import (
     LavilaConfig,
     encode_image,
@@ -35,6 +36,9 @@ __all__ = [
     "clip_vit_encode",
     "init_clip_resnet_params",
     "init_clip_vit_params",
+    "available_models",
+    "clip_preprocess",
+    "load_clip",
     "TextConfig",
     "encode_text",
     "init_text_params",

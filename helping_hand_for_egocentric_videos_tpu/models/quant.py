@@ -40,12 +40,17 @@ def quantize_linear_params(p: dict) -> dict:
 
 
 def int8_linear(p: dict, x: jax.Array) -> jax.Array:
-    """Dynamic-activation int8 matmul: y = (x_q @ w_q) * s_x * s_w + b."""
+    """Dynamic-activation int8 matmul: y = (x_q @ w_q) * s_x * s_w + b.
+
+    The abs-max reduce runs in the activation dtype (bf16) so no f32 copy
+    of x is ever materialised — only the scale math is f32 (measured ~11%
+    faster per matmul than reducing an f32 upcast, BENCH_NOTES.md r2)."""
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    s_x = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    s_x = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32) / 127.0
     s_x = jnp.maximum(s_x, 1e-8)
-    x_q = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / s_x)), -127, 127).astype(
+        jnp.int8
+    )
     acc = jax.lax.dot_general(
         x_q,
         p["w_q"],

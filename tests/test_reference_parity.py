@@ -752,3 +752,48 @@ def test_clip_resnet_image_tower_parity(rng):
         want = ref(torch.from_numpy(imgs).permute(0, 3, 1, 2)).numpy()
     got = np.asarray(clip_resnet_encode(params, cfg, jnp.asarray(imgs)))
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_zoo_load_clip_full_checkpoint_parity(rng, tmp_path):
+    """models/zoo.load_clip vs the reference CLIP (openai_model.py:275-418):
+    a full small ViT CLIP checkpoint round-trips through the zoo loader and
+    matches encode_image / encode_text / logit_scale."""
+    from model.openai_model import CLIP as RefCLIP
+
+    from helping_hand_for_egocentric_videos_tpu.models.clip_text import encode_text
+    from helping_hand_for_egocentric_videos_tpu.models.zoo import load_clip
+
+    torch.manual_seed(1)
+    ref = RefCLIP(
+        embed_dim=32,
+        image_resolution=56,
+        vision_layers=2,
+        vision_width=128,
+        vision_patch_size=14,
+        context_length=16,
+        vocab_size=64,
+        transformer_width=128,
+        transformer_heads=2,
+        transformer_layers=2,
+    ).eval()
+    path = tmp_path / "tiny_clip.pt"
+    torch.save(ref.state_dict(), str(path))
+
+    z = load_clip(str(path))
+    assert z["kind"] == "vit"
+    assert z["text_cfg"].layers == 2 and z["text_cfg"].width == 128
+
+    imgs = rng.normal(size=(2, 56, 56, 3)).astype(np.float32)
+    tokens = np.zeros((2, 16), np.int64)
+    tokens[:, 0] = 1
+    tokens[0, 1:4] = [5, 9, 63]  # 63 = max id = EOT position 3
+    tokens[1, 1:3] = [8, 63]
+    with torch.no_grad():
+        want_img = ref.encode_image(torch.from_numpy(imgs).permute(0, 3, 1, 2)).numpy()
+        want_txt = ref.encode_text(torch.from_numpy(tokens)).numpy()
+
+    got_img = np.asarray(z["encode_image"](z["visual_params"], z["visual_cfg"], jnp.asarray(imgs)))
+    np.testing.assert_allclose(got_img, want_img, atol=3e-5)
+    got_txt, _ = encode_text(z["text_params"], z["text_cfg"], jnp.asarray(tokens.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(got_txt), want_txt, atol=3e-5)
+    np.testing.assert_allclose(float(z["logit_scale"]), float(ref.logit_scale), rtol=1e-6)

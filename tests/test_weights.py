@@ -199,3 +199,33 @@ def test_inflate_temporal_embed():
     # identity when already the right length
     same = np.asarray(inflate_temporal_embed(jnp.asarray(te), 4))
     np.testing.assert_array_equal(same, te)
+
+
+def test_zoo_resolve_sha_verification(tmp_path, monkeypatch):
+    """resolve(): explicit paths pass through; named models are searched in
+    the cache dirs and SHA256-verified like the reference downloader
+    (openai_clip.py:53-82); missing files raise with the published URL."""
+    import pytest
+
+    from helping_hand_for_egocentric_videos_tpu.models.zoo import (
+        available_models,
+        resolve,
+    )
+
+    assert "ViT-L/14" in available_models()
+
+    f = tmp_path / "anything.pt"
+    f.write_bytes(b"x")
+    assert resolve(str(f)) == str(f)  # explicit path, no name lookup
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    (cache / "ViT-B-32.pt").write_bytes(b"not the real weights")
+    with pytest.raises(RuntimeError, match="SHA256"):
+        resolve("ViT-B/32", cache_dir=str(cache))
+    assert resolve("ViT-B/32", cache_dir=str(cache), verify=False).endswith("ViT-B-32.pt")
+
+    with pytest.raises(FileNotFoundError, match="openaipublic"):
+        resolve("RN50", cache_dir=str(tmp_path / "empty"))
+    with pytest.raises(FileNotFoundError, match="neither"):
+        resolve("NoSuchModel", cache_dir=str(cache))
