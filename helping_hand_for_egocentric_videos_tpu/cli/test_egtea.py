@@ -21,8 +21,18 @@ def main(argv=None):
     p.add_argument("--num_clips", type=int, default=10)
     p.add_argument("--clip_stride", type=int, default=2)
     p.add_argument("--splits", nargs="*", default=["1", "2", "3"])
+    p.add_argument(
+        "--spatial_crops",
+        type=int,
+        default=1,
+        choices=(1, 3, 6),
+        help="spatial TTA crops per clip (lavila_transforms SpatialCrop); "
+        "logits are max-pooled over clips x crops",
+    )
     p.set_defaults(num_frames=16, preprocess="shortside")
     args = p.parse_args(argv)
+    if args.spatial_crops > 1:
+        args.preprocess = f"crops{args.spatial_crops}"
     common.print_env()
 
     from ..data.egtea import EgteaConfig, EgteaDataset, generate_label_map

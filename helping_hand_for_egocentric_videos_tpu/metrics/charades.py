@@ -1,16 +1,23 @@
-"""Charades-style multi-label mAP and OSCC accuracy.
+"""Charades-style multi-label mAP, OSCC accuracy, PNR keyframe distance.
 
-Parity with the reference's auxiliary metrics (model/metric.py:267-317):
+Parity with the reference's auxiliary metrics (model/metric.py:267-362):
 ``charades_map`` masks videos with no labels to -inf before the official
-approximate AP computation; ``oscc_accuracy`` is plain argmax accuracy.
-These back the additional downstream evals LaviLa-style codebases run.
+approximate AP computation; ``oscc_accuracy`` is plain argmax accuracy;
+``pnr_keyframe_distance`` is the Ego4D point-of-no-return temporal
+localisation error in seconds. These back the additional downstream evals
+LaviLa-style codebases run.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["multi_label_map", "charades_map", "oscc_accuracy"]
+__all__ = [
+    "multi_label_map",
+    "charades_map",
+    "oscc_accuracy",
+    "pnr_keyframe_distance",
+]
 
 
 def multi_label_map(submission: np.ndarray, gt: np.ndarray):
@@ -45,3 +52,32 @@ def oscc_accuracy(preds: np.ndarray, labels: np.ndarray) -> float:
     preds = np.asarray(preds)
     labels = np.asarray(labels).reshape(-1)
     return 100.0 * float(np.mean(np.argmax(preds, axis=-1) == labels))
+
+
+def pnr_keyframe_distance(
+    preds,
+    sc_labels,
+    fps,
+    parent_start_frames,
+    parent_end_frames,
+    parent_pnr_frames,
+    num_frames: int = 16,
+) -> float:
+    """Ego4D PNR keyframe-localisation error in seconds
+    (pnr_metrics, model/metric.py:319-362): for clips with a state change
+    (sc_label == 1), the argmax over ``num_frames`` per-frame scores is
+    mapped back to the parent-video frame axis and compared to the
+    annotated PNR frame. Returns the mean |error| in seconds (0.0 when no
+    clip has a state change, the reference's fallback)."""
+    preds = np.asarray(preds)
+    dists = []
+    for pred, sc, f, start, end, pnr in zip(
+        preds, sc_labels, fps, parent_start_frames, parent_end_frames, parent_pnr_frames
+    ):
+        if int(sc) != 1:
+            continue
+        loc = int(np.argmax(pred))
+        mapped = (float(end) - float(start)) / num_frames * loc
+        gt = float(pnr) - float(start)
+        dists.append(abs(mapped - gt) / float(f))
+    return float(np.mean(dists)) if dists else 0.0

@@ -37,7 +37,11 @@ from ..metrics.sim import sim_matrix
 from ..models import lavila as lavila_mod
 from ..models import obj_decoder as dec_mod
 from ..models.obj_decoder import decoder_forward
-from ..ops.preprocess import resize_normalize, shortside_centercrop_normalize
+from ..ops.preprocess import (
+    resize_normalize,
+    shortside_centercrop_normalize,
+    spatial_crops,
+)
 
 __all__ = ["EvalModel", "run_egomcq", "run_epic_mir", "run_egtea"]
 
@@ -52,7 +56,11 @@ class EvalModel:
     dec_cfg: object
     tokenizer: object
     input_res: int = 224
-    preprocess: str = "resize"  # 'resize' (squash) | 'shortside' (EGTEA)
+    # 'resize' (squash) | 'shortside' (EGTEA 1-crop) | 'crops3'/'crops6'
+    # (LaviLa SpatialCrop multi-crop TTA: embeds come back crop-major as
+    # (k*B, E); run_egtea's max-pool over rows covers clips x crops,
+    # matching run/test_egtea.py:245-246)
+    preprocess: str = "resize"
     dtype: object = jnp.bfloat16
     int8: bool = False  # quantize the visual tower (models/quant.py)
 
@@ -77,6 +85,14 @@ class EvalModel:
         def _embed_video(backbone_params, decoder_params, video_u8, prep):
             if prep == "resize":
                 video = resize_normalize(video_u8, self.input_res)
+            elif prep.startswith("crops"):
+                video = spatial_crops(
+                    video_u8,
+                    crop=self.input_res,
+                    num_crops=int(prep[5:]),
+                    short=self.input_res,
+                )
+                video = video.reshape((-1,) + video.shape[2:])
             else:
                 video = shortside_centercrop_normalize(video_u8, res=self.input_res)
             _, fmap = lavila_mod.encode_image(

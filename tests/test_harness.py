@@ -211,6 +211,16 @@ def test_run_egtea_tiny():
     assert 0 <= res["mean_class_acc"] <= 100
     assert 0 <= res["top1"] <= 100
 
+    # 3-crop spatial TTA (lavila_transforms SpatialCrop): embeds come back
+    # crop-major, run_egtea's row max-pool covers clips x crops
+    model3 = tiny_eval_model(preprocess="crops3")
+    emb, _ = model3.embed_video(
+        (np.random.default_rng(1).random((2, 4, 32, 48, 3)) * 255).astype(np.uint8)
+    )
+    assert emb.shape[0] == 6  # 3 crops x 2 clips
+    res3 = run_egtea(model3, FakeEgtea(labels), labels)
+    assert 0 <= res3["mean_class_acc"] <= 100
+
 
 def test_pretrain_loop_end_to_end(egoclip_fixture, tmp_path):
     from helping_hand_for_egocentric_videos_tpu.train.pretrain import pretrain

@@ -797,3 +797,33 @@ def test_zoo_load_clip_full_checkpoint_parity(rng, tmp_path):
     got_txt, _ = encode_text(z["text_params"], z["text_cfg"], jnp.asarray(tokens.astype(np.int32)))
     np.testing.assert_allclose(np.asarray(got_txt), want_txt, atol=3e-5)
     np.testing.assert_allclose(float(z["logit_scale"]), float(ref.logit_scale), rtol=1e-6)
+
+
+def test_pnr_keyframe_distance_parity(rng):
+    """pnr_keyframe_distance vs the reference pnr_metrics
+    (model/metric.py:319-362) on random predictions/annotations."""
+    from model.metric import pnr_metrics
+
+    from helping_hand_for_egocentric_videos_tpu.metrics.charades import (
+        pnr_keyframe_distance,
+    )
+
+    n = 12
+    preds = rng.normal(size=(n, 16)).astype(np.float32)
+    sc = (rng.random(n) < 0.7).astype(np.int64)
+    fps = rng.uniform(25, 31, n).astype(np.float32)
+    start = rng.integers(0, 1000, n).astype(np.float32)
+    end = start + rng.integers(30, 120, n).astype(np.float32)
+    pnr = start + (end - start) * rng.random(n).astype(np.float32)
+
+    want = pnr_metrics(
+        torch.from_numpy(preds),
+        torch.zeros(n),
+        torch.from_numpy(sc),
+        torch.from_numpy(fps),
+        torch.from_numpy(start),
+        torch.from_numpy(end),
+        torch.from_numpy(pnr),
+    )["keyframe_distance"]
+    got = pnr_keyframe_distance(preds, sc, fps, start, end, pnr)
+    np.testing.assert_allclose(got, float(want), rtol=1e-6)
