@@ -94,6 +94,7 @@ def build_eval_model(args):
         dec_cfg=dec_cfg,
         tokenizer=ClipTokenizer(),
         preprocess=getattr(args, "preprocess", "resize"),
+        int8=getattr(args, "int8", False),
     )
     return model, lavila_cfg, dec_cfg
 
@@ -107,6 +108,13 @@ def add_eval_args(p):
     p.add_argument("--num_frames", type=int, default=16)
     p.add_argument("--num_queries", type=int, default=12)
     p.add_argument("--out", default="", help="optional path to dump results json")
+    p.add_argument(
+        "--int8",
+        action="store_true",
+        help="int8-quantize the frozen visual tower (models/quant.py; "
+        "~25%% faster eval — compare the .npz similarity dumps against an "
+        "f32 run before trusting new weights)",
+    )
     return p
 
 
