@@ -267,6 +267,9 @@ def read_clip_seconds(
     else:
         start_f = max(0, int((start_sec or 0.0) * fps))
         end_f = min(int((end_sec if end_sec is not None else vlen / fps) * fps), vlen)
+        # annotations can outlive a truncated video: clamp the window so
+        # the sampled ids stay increasing instead of a reversed linspace
+        start_f = min(start_f, max(end_f - 1, 0))
         ids = sample_frames_start_end(num_frames, start_f, end_f, sample=sample, rng=rng)
     return read_frames_at(path, ids, fps), list(ids)
 
@@ -293,9 +296,17 @@ def read_jpeg_paths(
     except native.NativeUnavailable:
         from PIL import Image
 
-        return np.stack(
-            [np.asarray(Image.open(p).convert("RGB")) for p in chosen]
-        ), ids
+        # match the native backend: every frame squashed to frame 0's dims
+        # so mixed-size lists stack the same way on both backends
+        first = Image.open(chosen[0]).convert("RGB")
+        w, h = first.size
+        frames = [np.asarray(first)]
+        for p in chosen[1:]:
+            im = Image.open(p).convert("RGB")
+            if im.size != (w, h):
+                im = im.resize((w, h), Image.BILINEAR)
+            frames.append(np.asarray(im))
+        return np.stack(frames), ids
 
 
 def read_jpeg_frames(

@@ -292,6 +292,13 @@ def _t(a):
     return jnp.asarray(np.asarray(a, dtype=np.float32))
 
 
+def count_resblocks(sd: dict, prefix: str = "transformer.resblocks") -> int:
+    """Number of ResidualAttentionBlocks under ``prefix`` in a state dict
+    (the build_model sniffing pattern, openai_model.py:449-471)."""
+    depth = prefix.count(".") + 1
+    return len({k.split(".")[depth] for k in sd if k.startswith(prefix + ".")})
+
+
 def _conv_t(sd, name):
     # torch (out, in, kh, kw) -> HWIO
     return {"w": _t(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)}
@@ -337,7 +344,7 @@ def convert_openai_vit_tower(sd: dict, prefix: str = "visual."):
     sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)} if prefix else dict(sd)
     conv1 = _t(sd["conv1.weight"])  # (width, 3, P, P)
     width, _, p, _ = conv1.shape
-    n_layers = len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks")})
+    n_layers = count_resblocks(sd)
     grid = int(round((sd["positional_embedding"].shape[0] - 1) ** 0.5))
     cfg = ClipVitConfig(
         input_resolution=p * grid,

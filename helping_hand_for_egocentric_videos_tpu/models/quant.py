@@ -10,9 +10,11 @@ statically weight-quantized and dynamically activation-quantized:
 
 Enable by transforming the params tree once with
 ``quantize_lavila_params`` — ``layers.linear`` dispatches on the presence
-of the quantised leaves, so no model-code changes are needed. OFF by
-default; retrieval-accuracy parity must be validated on real weights
-before production use (TODO.md).
+of the quantised leaves, so no model-code changes are needed. The bench
+headline and the eval CLIs' ``--int8`` flag use this path; rank-order
+retrieval stability is test-gated (tests/test_quant.py), and released
+weights should additionally be validated by diffing the harnesses' .npz
+similarity dumps against an f32 run (TODO.md).
 """
 
 from __future__ import annotations

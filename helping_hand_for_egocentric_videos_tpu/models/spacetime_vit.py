@@ -159,12 +159,14 @@ def _var_attention_pallas(p, x_cls, x_p, t: int, n: int, heads: int, mode: str, 
     return linear(p["proj"], cls_out), linear(p["proj"], out_patch)
 
 
-def _kernel_friendly(n: int, d: int, heads: int) -> bool:
+def _kernel_friendly(n: int, d: int, heads: int, t: int) -> bool:
     """Shapes the Mosaic kernels compile well for: full-lane tiles,
-    64-multiple head dims, and an unrolled head loop that fits VMEM
-    (see BENCH_NOTES.md 'landmines')."""
+    64-multiple head dims, an unrolled head loop that fits VMEM, and a
+    bounded temporal row count (R = 8t at the minimum patch block — past
+    128 frames the masked logits would outgrow VMEM; see BENCH_NOTES.md
+    'landmines')."""
     dh = d // heads
-    return dh % 64 == 0 and n % 8 == 0 and n >= 32 and heads <= 16
+    return dh % 64 == 0 and n % 8 == 0 and n >= 32 and heads <= 16 and t <= 128
 
 
 def _var_attention_split(p, x_cls, x_p, t, n, heads, mode, backend):
@@ -177,7 +179,7 @@ def _var_attention_split(p, x_cls, x_p, t, n, heads, mode, backend):
     """
     if backend == "pallas_interpret":  # CPU-testable kernel path
         return _var_attention_pallas(p, x_cls, x_p, t, n, heads, mode, interpret=True)
-    if _use_pallas(backend) and _kernel_friendly(n, x_p.shape[-1], heads):
+    if _use_pallas(backend) and _kernel_friendly(n, x_p.shape[-1], heads, t):
         return _var_attention_pallas(p, x_cls, x_p, t, n, heads, mode)
     x = jnp.concatenate([x_cls, x_p], axis=1)
     out = _var_attention(p, x, t, n, heads, mode)

@@ -36,10 +36,19 @@ __all__ = [
 
 def load_torch_state_dict(path: str) -> dict:
     """torch.load a checkpoint and return a numpy state dict with the
-    ``module.`` prefix stripped and an inner ``state_dict`` unwrapped."""
+    ``module.`` prefix stripped and an inner ``state_dict`` unwrapped.
+
+    The official OpenAI CLIP releases are TorchScript archives (the
+    reference falls back to torch.jit.load, openai_clip.py:151-160) —
+    those load as a ScriptModule whose ``state_dict()`` is taken."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    except RuntimeError:
+        ckpt = torch.jit.load(path, map_location="cpu")
+    if isinstance(ckpt, torch.jit.ScriptModule):
+        ckpt = ckpt.state_dict()
     sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     out = {}
     for k, v in sd.items():

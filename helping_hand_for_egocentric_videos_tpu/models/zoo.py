@@ -113,7 +113,14 @@ def load_clip(name_or_path: str, cache_dir: str | None = None, verify: bool = Tr
     'visual_params', 'encode_image' (params, cfg, images_nhwc -> embed),
     'text_cfg', 'text_params' (clip_text layout), 'logit_scale'.
     """
-    from .clip_image import clip_image_tower_from_state_dict
+    import jax
+
+    from .clip_image import (
+        _t,
+        _vit_block_t,  # the text tower shares the ResidualAttentionBlock layout
+        clip_image_tower_from_state_dict,
+        count_resblocks,
+    )
     from .clip_text import TextConfig
     from .weights import load_torch_state_dict
 
@@ -121,12 +128,7 @@ def load_clip(name_or_path: str, cache_dir: str | None = None, verify: bool = Tr
     sd = load_torch_state_dict(path)
     kind, vcfg, vparams, encode = clip_image_tower_from_state_dict(sd)
 
-    import numpy as np
-
-    def _t(a):
-        return jnp.asarray(np.asarray(a, dtype=np.float32))
-
-    n_layers = len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks")})
+    n_layers = count_resblocks(sd)
     width = int(sd["ln_final.weight"].shape[0])
     tcfg = TextConfig(
         vocab_size=int(sd["token_embedding.weight"].shape[0]),
@@ -136,10 +138,6 @@ def load_clip(name_or_path: str, cache_dir: str | None = None, verify: bool = Tr
         layers=n_layers,
         embed_dim=int(sd["text_projection"].shape[1]),
     )
-    from .clip_image import _vit_block_t  # same ResidualAttentionBlock layout
-
-    import jax
-
     blocks = [_vit_block_t(sd, f"transformer.resblocks.{i}") for i in range(n_layers)]
     tparams = {
         "token_embedding": _t(sd["token_embedding.weight"]),

@@ -153,14 +153,19 @@ def merge_cls_partials(m, s, co, cls_q, cls_k, cls_v, heads: int):
 def _temporal_block(t: int, n: int) -> int:
     """Patch-block size: R = t*nb rows per tile, targeting R = 256 (the
     measured sweet spot — one (256, 256) masked dot per head beats tiny
-    batched (T, T) dots and beats R = 128 tiles, BENCH_NOTES.md)."""
-    nb = max(1, 256 // t)
-    nb = min(nb, n)
-    # Pallas constraint: the block's second-to-last dim (nb) must be a
-    # multiple of 8 or equal to the full array dim (n)
-    while nb > 1 and (n % nb or nb % 8):
-        nb -= 1
-    return nb if nb > 1 else n
+    batched (T, T) dots and beats R = 128 tiles, BENCH_NOTES.md).
+
+    nb must divide n and be a multiple of 8 (Pallas block constraint,
+    callers guarantee n % 8 == 0 via ``_kernel_friendly``); long clips
+    (256 // t < 8) fall to the minimum nb = 8 tile so R stays bounded at
+    8*t rows rather than degenerating to the whole patch axis."""
+    nb = min(max(256 // t, 8), n)
+    nb -= nb % 8
+    while nb > 8 and n % nb:
+        nb -= 8
+    if nb < 8 or n % nb:
+        nb = 8 if n % 8 == 0 else n
+    return max(nb, 1)
 
 
 @functools.partial(

@@ -145,6 +145,12 @@ def run_egomcq(
     truth and types for offline diffing (the reference saves an equivalent
     .pth, run/test_EgoMCQ.py:119).
     """
+    if model.preprocess.startswith("crops"):
+        raise ValueError(
+            "multi-crop preprocess returns crop-major (k*B, E) embeddings; "
+            "only run_egtea's row max-pool supports it (use preprocess="
+            "'resize' here)"
+        )
     preds, gts, types = [], [], []
     n = len(dataset) if limit is None else min(limit, len(dataset))
     buf = []
@@ -196,6 +202,12 @@ def run_epic_mir(
     ``out_sims`` dumps an .npz with the raw text x video cosine matrix
     (pre-postprocessing, what the reference torch.saves at
     run/test_epic.py:263-265) plus the re-indexed matrix fed to nDCG/mAP."""
+    if model.preprocess.startswith("crops"):
+        raise ValueError(
+            "multi-crop preprocess returns crop-major (k*B, E) embeddings; "
+            "only run_egtea's row max-pool supports it (use preprocess="
+            "'resize' here)"
+        )
     text_embeds, vid_embeds = [], []
     n = len(dataset)
     buf_v, buf_t = [], []

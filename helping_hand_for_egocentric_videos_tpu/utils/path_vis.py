@@ -31,6 +31,11 @@ def visualise_path(pred, target, window) -> np.ndarray:
     for t in target:
         grid[:, local_idxs.index(int(t[0])), int(t[1])] = _GT
     for p in pred:
+        if int(p[0]) not in local_idxs:
+            # prediction on a clip row with no GT cell: the row has no
+            # position in the target-compressed grid (the reference
+            # crashes here, visualisation.py:32-37); skip it
+            continue
         row = local_idxs.index(int(p[0]))
         cell = grid[:, row, int(p[1])]
         grid[:, row, int(p[1])] = _TP if np.array_equal(cell, _GT) else _FP

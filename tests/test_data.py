@@ -368,3 +368,37 @@ def test_read_jpeg_paths_sth_semantics(tmp_path):
     all_frames, all_ids = read_jpeg_paths(paths)
     assert all_frames.shape == (10, 8, 8, 3) and all_ids == list(range(10))
     np.testing.assert_array_equal(all_frames[ids], frames)
+
+
+def test_read_clip_seconds_clamps_out_of_range_window(tmp_path):
+    """Annotation windows past the end of a truncated video clamp to an
+    increasing id sequence instead of a reversed linspace."""
+    from helping_hand_for_egocentric_videos_tpu.data.video import read_clip_seconds
+
+    rng = np.random.default_rng(0)
+    np.save(tmp_path / "v.mp4.npy", (rng.random((150, 8, 8, 3)) * 255).astype(np.uint8))
+    frames, ids = read_clip_seconds(
+        str(tmp_path / "v.mp4"), 4, sample="uniform", start_sec=10.0, end_sec=12.0
+    )
+    assert frames.shape == (4, 8, 8, 3)
+    assert ids == sorted(ids), ids  # non-decreasing
+    assert all(0 <= i <= 150 for i in ids)
+
+
+def test_read_jpeg_paths_mixed_sizes_squash_to_first(tmp_path):
+    """Mixed-size frame lists are squashed to frame 0's dims on every
+    backend (the native decoder's behaviour) instead of crashing."""
+    from PIL import Image
+
+    from helping_hand_for_egocentric_videos_tpu.data.video import read_jpeg_paths
+
+    rng = np.random.default_rng(2)
+    sizes = [(8, 12), (6, 8), (8, 12)]
+    paths = []
+    for i, (h, w) in enumerate(sizes):
+        arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        p = tmp_path / f"m_{i}.jpg"
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(str(p))
+    frames, ids = read_jpeg_paths(paths)
+    assert frames.shape == (3, 8, 12, 3)

@@ -146,3 +146,7 @@ def test_path_vis_grid_colors():
     assert batch.shape == (2, 3, 3, 4)
     # min_dist ignores the validity window
     np.testing.assert_allclose(batch[1][:, 0, 3] * 255, (255, 255, 255))
+
+    # a prediction on a clip row with no GT cell is skipped, not a crash
+    g2 = visualise_path([(5, 0), (0, 0)], target, window)
+    np.testing.assert_allclose(g2[:, 0, 0] * 255, (64, 191, 64))

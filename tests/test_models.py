@@ -248,3 +248,46 @@ def test_decoder_attention_maps(rng):
     np.testing.assert_allclose(
         np.asarray(out.pred_boxes), np.asarray(base.pred_boxes), atol=1e-6
     )
+
+
+def test_backbone_pallas_interpret_matches_xla(rng):
+    """CPU-runnable parity for the rows kernel (interpret mode) vs the
+    grouped-einsum XLA path, covering the spatial kernel, the temporal
+    periodic block-diagonal mask (nb > 1), and the CLS-row streaming
+    partials through a full 2-block backbone."""
+    from dataclasses import replace
+
+    cfg_pl = SpaceTimeConfig(
+        img_size=112, patch_size=14, width=128, depth=2, heads=2, num_frames=2,
+        attention_backend="pallas_interpret",
+    )
+    from helping_hand_for_egocentric_videos_tpu.ops.divided_attention import (
+        _temporal_block,
+    )
+
+    assert _temporal_block(2, cfg_pl.patches_per_frame) > 1  # mask path on
+    cfg_xla = replace(cfg_pl, attention_backend="xla")
+    params = init_spacetime_params(jax.random.PRNGKey(0), cfg_pl)
+    video = jnp.asarray(rng.normal(size=(2, 2, 112, 112, 3)).astype(np.float32))
+    a_cls, a = spacetime_forward(params, cfg_xla, video, use_remat=False, dtype=jnp.float32)
+    b_cls, b = spacetime_forward(params, cfg_pl, video, use_remat=False, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a_cls), np.asarray(b_cls), atol=2e-5)
+
+
+def test_temporal_block_sizes_bounded():
+    """Long clips fall to the minimum 8-patch tile instead of degenerating
+    to the whole patch axis (VMEM blowup at R = t*n)."""
+    from helping_hand_for_egocentric_videos_tpu.ops.divided_attention import (
+        _temporal_block,
+    )
+
+    assert _temporal_block(16, 256) == 16  # R = 256 sweet spot
+    assert _temporal_block(4, 256) == 64
+    assert _temporal_block(48, 256) == 8  # R = 384, not 12288
+    assert _temporal_block(64, 256) == 8
+    assert _temporal_block(2, 64) == 64  # capped by n
+    for t in (2, 4, 12, 16, 48, 100):
+        nb = _temporal_block(t, 256)
+        assert 256 % nb == 0 and (nb % 8 == 0 or nb == 256)
+        assert t * nb <= 1024

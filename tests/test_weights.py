@@ -229,3 +229,32 @@ def test_zoo_resolve_sha_verification(tmp_path, monkeypatch):
         resolve("RN50", cache_dir=str(tmp_path / "empty"))
     with pytest.raises(FileNotFoundError, match="neither"):
         resolve("NoSuchModel", cache_dir=str(cache))
+
+
+def test_load_torch_state_dict_torchscript_archive(tmp_path):
+    """The official OpenAI CLIP releases are TorchScript archives; the
+    loader must take the ScriptModule's state_dict (openai_clip.py:151-160
+    fallback semantics)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    class M(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = torch.nn.Linear(4, 2)
+
+        def forward(self, x):
+            return self.lin(x)
+
+    m = torch.jit.script(M())
+    path = tmp_path / "scripted.pt"
+    torch.jit.save(m, str(path))
+
+    from helping_hand_for_egocentric_videos_tpu.models.weights import (
+        load_torch_state_dict,
+    )
+
+    sd = load_torch_state_dict(str(path))
+    assert set(sd) == {"lin.weight", "lin.bias"}
+    assert sd["lin.weight"].shape == (2, 4)
