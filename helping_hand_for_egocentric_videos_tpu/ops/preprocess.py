@@ -29,6 +29,8 @@ __all__ = [
     "resize_normalize",
     "shortside_centercrop_normalize",
     "spatial_crops",
+    "center_plus_four_crops",
+    "center_plus_twohori_crops",
 ]
 
 LAVILA_MEAN = (108.3272985 / 255, 116.7460125 / 255, 104.09373615 / 255)
@@ -129,3 +131,56 @@ def spatial_crops(
         crops += [crop_at(xf, t, l) for t, l in offs]
     crops = jnp.stack(crops)
     return _norm(crops, mean, std)
+
+
+def _center_crop(x, ch: int, cw: int):
+    *_, h, w, _ = x.shape
+    top, left = (h - ch) // 2, (w - cw) // 2
+    return x[..., top : top + ch, left : left + cw, :]
+
+
+def center_plus_four_crops(img, size, margin_h: int, margin_w: int):
+    """Four tiled border crops + the center crop (utils/custom_transforms.py:
+    18-83): (tl, tr, bl, br, center) of a channel-last (..., H, W, C) image.
+
+    The borders tile the frame of ``margin`` thickness around the central
+    (h, w) crop exactly as the reference lays them out (tl/br horizontal
+    strips spanning margin+crop, tr/bl vertical strips)."""
+    ch, cw = (size, size) if isinstance(size, int) else tuple(size)
+    *_, h, w, _ = img.shape
+    if cw > w or ch > h:
+        raise ValueError(f"crop {size} larger than image {(h, w)}")
+    if cw + margin_w > w or ch + margin_h > h:
+        raise ValueError(f"margin {(margin_h, margin_w)} + crop {size} exceeds image {(h, w)}")
+    x11 = (w - cw - 2 * margin_w) // 2
+    x12 = x11 + margin_w
+    x21 = x12 + cw
+    y11 = (h - ch - 2 * margin_h) // 2
+    y12 = y11 + margin_h
+    y21 = y12 + ch
+
+    def crop(top, left, hh, ww):
+        return img[..., top : top + hh, left : left + ww, :]
+
+    tl = crop(y11, x11, margin_h, margin_w + cw)
+    tr = crop(y11, x21, margin_h + ch, margin_w)
+    bl = crop(y12, x11, margin_h + ch, margin_w)
+    br = crop(y21, x12, margin_h, margin_w + cw)
+    return tl, tr, bl, br, _center_crop(img, ch, cw)
+
+
+def center_plus_twohori_crops(img, size, margin_w: int):
+    """Left/right border crops + center crop (utils/custom_transforms.py:
+    68-106): (left, right, center) of a channel-last image."""
+    ch, cw = (size, size) if isinstance(size, int) else tuple(size)
+    *_, h, w, _ = img.shape
+    if cw > w or ch > h:
+        raise ValueError(f"crop {size} larger than image {(h, w)}")
+    if cw + margin_w > w:
+        raise ValueError(f"margin {margin_w} + crop {size} exceeds image width {w}")
+    x11 = (w - cw - 2 * margin_w) // 2
+    x21 = x11 + margin_w + cw
+    y11 = (h - ch) // 2
+    left = img[..., y11 : y11 + ch, x11 : x11 + margin_w, :]
+    right = img[..., y11 : y11 + ch, x21 : x21 + margin_w, :]
+    return left, right, _center_crop(img, ch, cw)

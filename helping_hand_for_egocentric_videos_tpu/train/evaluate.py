@@ -145,7 +145,7 @@ def run_egomcq(
     truth and types for offline diffing (the reference saves an equivalent
     .pth, run/test_EgoMCQ.py:119).
     """
-    if model.preprocess.startswith("crops"):
+    if getattr(model, "preprocess", "").startswith("crops"):
         raise ValueError(
             "multi-crop preprocess returns crop-major (k*B, E) embeddings; "
             "only run_egtea's row max-pool supports it (use preprocess="
@@ -202,7 +202,7 @@ def run_epic_mir(
     ``out_sims`` dumps an .npz with the raw text x video cosine matrix
     (pre-postprocessing, what the reference torch.saves at
     run/test_epic.py:263-265) plus the re-indexed matrix fed to nDCG/mAP."""
-    if model.preprocess.startswith("crops"):
+    if getattr(model, "preprocess", "").startswith("crops"):
         raise ValueError(
             "multi-crop preprocess returns crop-major (k*B, E) embeddings; "
             "only run_egtea's row max-pool supports it (use preprocess="

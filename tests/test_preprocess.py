@@ -92,3 +92,31 @@ def test_spatial_crops_six_includes_flips(rng):
     np.testing.assert_allclose(
         np.asarray(six[3]), np.asarray(three[2][..., ::-1, :]), atol=1e-5
     )
+
+
+def test_border_crops_match_reference_layout(rng):
+    """center_plus_four_crops / center_plus_twohori_crops shapes + tiling
+    (utils/custom_transforms.py:18-106): borders tile a margin frame
+    around the central crop."""
+    import jax.numpy as jnp
+
+    from helping_hand_for_egocentric_videos_tpu.ops.preprocess import (
+        center_plus_four_crops,
+        center_plus_twohori_crops,
+    )
+
+    img = jnp.asarray((rng.random((64, 80, 3)) * 255).astype("uint8"))
+    tl, tr, bl, br, center = center_plus_four_crops(img, (32, 40), 8, 12)
+    assert tl.shape == (8, 52, 3)  # margin_h x (margin_w + crop_w)
+    assert tr.shape == (40, 12, 3)  # (margin_h + crop_h) x margin_w
+    assert bl.shape == (40, 12, 3)
+    assert br.shape == (8, 52, 3)
+    assert center.shape == (32, 40, 3)
+    np.testing.assert_array_equal(np.asarray(center), np.asarray(img[16:48, 20:60]))
+
+    left, right, c2 = center_plus_twohori_crops(img, (48, 40), 12)
+    assert left.shape == (48, 12, 3) and right.shape == (48, 12, 3)
+    assert c2.shape == (48, 40, 3)
+    # left border abuts the central crop's left edge
+    x11 = (80 - 40 - 24) // 2
+    np.testing.assert_array_equal(np.asarray(left), np.asarray(img[8:56, x11 : x11 + 12]))
