@@ -30,6 +30,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .layers import (
     dropout,
@@ -41,7 +42,13 @@ from .layers import (
     multi_head_attention,
 )
 
-__all__ = ["DecoderConfig", "init_decoder_params", "decoder_forward", "DecoderOutput"]
+__all__ = [
+    "DecoderConfig",
+    "init_decoder_params",
+    "decoder_forward",
+    "DecoderOutput",
+    "position_embedding_sine",
+]
 
 
 @dataclass(frozen=True)
@@ -302,3 +309,42 @@ def decoder_forward(
         cross_attn=jnp.stack(cross_maps) if return_attn else None,
         self_attn=jnp.stack(self_maps) if return_attn else None,
     )
+
+
+def position_embedding_sine(
+    mask,
+    num_pos_feats: int = 64,
+    temperature: float = 10000.0,
+    normalize: bool = False,
+    scale: float | None = None,
+):
+    """DETR sine positional embedding over a padding mask
+    (model/tfm_decoder.py:13-47; unused by the reference's main path —
+    the decoder learns a 3D pos embed instead — kept for module parity).
+
+    mask: (B, H, W) bool, True = padded. Returns (B, 2*num_pos_feats, H, W)
+    channel-first, matching the reference's output layout.
+    """
+    if scale is not None and not normalize:
+        raise ValueError("normalize should be True if scale is passed")
+    if scale is None:
+        scale = 2 * np.pi
+    not_mask = (~mask).astype(jnp.float32)
+    y_embed = jnp.cumsum(not_mask, axis=1)
+    x_embed = jnp.cumsum(not_mask, axis=2)
+    if normalize:
+        eps = 1e-6
+        y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+        x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+    pos_x = x_embed[..., None] / dim_t  # (B, H, W, F)
+    pos_y = y_embed[..., None] / dim_t
+    pos_x = jnp.stack(
+        (jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])), axis=4
+    ).reshape(*pos_x.shape[:3], -1)
+    pos_y = jnp.stack(
+        (jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])), axis=4
+    ).reshape(*pos_y.shape[:3], -1)
+    return jnp.concatenate((pos_y, pos_x), axis=3).transpose(0, 3, 1, 2)

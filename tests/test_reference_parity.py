@@ -827,3 +827,25 @@ def test_pnr_keyframe_distance_parity(rng):
     )["keyframe_distance"]
     got = pnr_keyframe_distance(preds, sc, fps, start, end, pnr)
     np.testing.assert_allclose(got, float(want), rtol=1e-6)
+
+
+def test_position_embedding_sine_parity(rng):
+    """position_embedding_sine vs the reference PositionEmbeddingSine
+    (model/tfm_decoder.py:13-47), normalized and unnormalized."""
+    from model.tfm_decoder import PositionEmbeddingSine
+
+    from helping_hand_for_egocentric_videos_tpu.models.obj_decoder import (
+        position_embedding_sine,
+    )
+
+    mask = np.zeros((2, 6, 9), bool)
+    mask[0, 4:, :] = True  # padded rows
+    mask[1, :, 7:] = True
+    for normalize in (False, True):
+        ref = PositionEmbeddingSine(num_pos_feats=32, normalize=normalize)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(mask)).numpy()
+        got = np.asarray(
+            position_embedding_sine(jnp.asarray(mask), num_pos_feats=32, normalize=normalize)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
