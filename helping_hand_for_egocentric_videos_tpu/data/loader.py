@@ -28,7 +28,13 @@ import numpy as np
 
 from .egoclip import STOPWORD_NOUN_IDS
 
-__all__ = ["ShardedSampler", "PrefetchLoader", "collate", "prepare_train_batch"]
+__all__ = [
+    "ShardedSampler",
+    "PrefetchLoader",
+    "RoundRobinLoader",
+    "collate",
+    "prepare_train_batch",
+]
 
 
 class ShardedSampler:
@@ -189,3 +195,27 @@ def prepare_train_batch(batch: dict, tokenizer, rephrase_factor: int = 5) -> dic
         "nouns": nouns.astype(np.int32),
         "text_str": texts,
     }
+
+
+class RoundRobinLoader:
+    """Alternate batches across several loaders (the reference's
+    BaseMultiDataLoader / TextVideoMultiDataLoader, base/base_data_loader.py:
+    137-153 + data_loader/data_loader.py:170-180): batch i comes from loader
+    i % k, and one epoch undersamples every loader to the shortest one."""
+
+    def __init__(self, loaders):
+        if not loaders:
+            raise ValueError("need at least one loader")
+        self.loaders = list(loaders)
+
+    def __iter__(self):
+        iters = [iter(l) for l in self.loaders]
+        for _ in range(min(len(l) for l in self.loaders)):
+            for it in iters:
+                yield next(it)
+
+    def __len__(self):
+        return min(len(l) for l in self.loaders) * len(self.loaders)
+
+    def num_samples(self) -> int:
+        return sum(getattr(l, "num_samples", lambda: len(l))() for l in self.loaders)

@@ -402,3 +402,18 @@ def test_read_jpeg_paths_mixed_sizes_squash_to_first(tmp_path):
         paths.append(str(p))
     frames, ids = read_jpeg_paths(paths)
     assert frames.shape == (3, 8, 12, 3)
+
+
+def test_round_robin_loader_alternates_and_undersamples():
+    """RoundRobinLoader == BaseMultiDataLoader semantics
+    (base/base_data_loader.py:137-153): batches alternate across loaders
+    and the epoch is bounded by the shortest loader."""
+    from helping_hand_for_egocentric_videos_tpu.data.loader import RoundRobinLoader
+
+    a = [f"a{i}" for i in range(3)]
+    b = [f"b{i}" for i in range(5)]
+    rr = RoundRobinLoader([a, b])
+    assert len(rr) == 6
+    got = list(rr)
+    assert got == ["a0", "b0", "a1", "b1", "a2", "b2"]
+    assert rr.num_samples() == 8
