@@ -53,13 +53,16 @@ def resize_normalize(
     """(..., H, W, C) uint8 -> (..., res, res, C) normalised float.
 
     Square (aspect-squashing) bilinear resize, then /255 and per-channel
-    normalisation — torchvision Resize((res, res)) semantics
-    (antialias off for the video-tensor path the reference uses).
+    normalisation — torchvision Resize((res, res)) semantics. antialias
+    MUST be off: the reference resizes video *tensors*, where torch
+    interpolates without antialiasing — jax.image.resize's default
+    antialiased downscale differs by up to 0.45 per value (torch-oracle
+    test in tests/test_preprocess.py).
     """
     x = video_u8.astype(dtype) / 255.0
     shape = video_u8.shape[:-3] + (res, res, video_u8.shape[-1])
     if video_u8.shape[-3:-1] != (res, res):
-        x = jax.image.resize(x, shape, method="bilinear")
+        x = jax.image.resize(x, shape, method="bilinear", antialias=False)
     return _norm(x, mean, std)
 
 
@@ -72,18 +75,20 @@ def shortside_centercrop_normalize(
     dtype=jnp.float32,
 ):
     """Resize(shorter side=short) -> CenterCrop(short) -> Resize(res) ->
-    Normalize. Static shapes: the input H/W are compile-time constants."""
+    Normalize (antialias off == torch tensor interpolation, see
+    resize_normalize). Static shapes: the input H/W are compile-time
+    constants."""
     *lead, h, w, c = video_u8.shape
     x = video_u8.astype(dtype) / 255.0
     if h <= w:
         nh, nw = short, max(int(round(w * short / h)), short)
     else:
         nh, nw = max(int(round(h * short / w)), short), short
-    x = jax.image.resize(x, (*lead, nh, nw, c), method="bilinear")
+    x = jax.image.resize(x, (*lead, nh, nw, c), method="bilinear", antialias=False)
     top, left = (nh - short) // 2, (nw - short) // 2
     x = x[..., top : top + short, left : left + short, :]
     if short != res:
-        x = jax.image.resize(x, (*lead, res, res, c), method="bilinear")
+        x = jax.image.resize(x, (*lead, res, res, c), method="bilinear", antialias=False)
     return _norm(x, mean, std)
 
 
@@ -110,7 +115,7 @@ def spatial_crops(
         nh, nw = short, max(int(round(w * short / h)), short)
     else:
         nh, nw = max(int(round(h * short / w)), short), short
-    x = jax.image.resize(x, (*lead, nh, nw, c), method="bilinear")
+    x = jax.image.resize(x, (*lead, nh, nw, c), method="bilinear", antialias=False)
 
     def crop_at(src, top, left):
         return src[..., top : top + crop, left : left + crop, :]

@@ -120,3 +120,33 @@ def test_border_crops_match_reference_layout(rng):
     # left border abuts the central crop's left edge
     x11 = (80 - 40 - 24) // 2
     np.testing.assert_array_equal(np.asarray(left), np.asarray(img[8:56, x11 : x11 + 12]))
+
+
+def test_resize_matches_torch_tensor_interpolation(rng):
+    """The reference resizes video tensors with torch (no antialiasing);
+    jax.image.resize's default antialiased downscale differs by up to
+    0.45 per value — the preprocess pipeline must match torch bit-close."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    import torch.nn.functional as F
+
+    from helping_hand_for_egocentric_videos_tpu.ops.preprocess import (
+        resize_normalize,
+    )
+
+    clip = (rng.random((2, 256, 456, 3)) * 255).astype(np.uint8)
+    got = np.asarray(resize_normalize(jnp.asarray(clip), 224, mean=(0, 0, 0), std=(1, 1, 1)))
+    want = (
+        F.interpolate(
+            torch.from_numpy(clip.transpose(0, 3, 1, 2)).float() / 255.0,
+            size=(224, 224),
+            mode="bilinear",
+            align_corners=False,
+            antialias=False,
+        )
+        .numpy()
+        .transpose(0, 2, 3, 1)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
