@@ -170,6 +170,9 @@ def clip_preprocess(images_u8, n_px: int = 224):
         nh, nw = n_px, max(int(round(w * n_px / h)), n_px)
     else:
         nh, nw = max(int(round(h * n_px / w)), n_px), n_px
+    # antialiased bicubic on purpose: the reference CLIP transform goes
+    # through PIL (openai_clip.py:92), which antialiases — unlike the
+    # LaviLa tensor pipeline (ops/preprocess.py, antialias off)
     x = jax.image.resize(x, (*lead, nh, nw, c), method="bicubic")
     top, left = (nh - n_px) // 2, (nw - n_px) // 2
     x = x[..., top : top + n_px, left : left + n_px, :]
