@@ -13,6 +13,7 @@ from first principles — no reference code. Key invariants verified:
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -291,3 +292,41 @@ def test_temporal_block_sizes_bounded():
         nb = _temporal_block(t, 256)
         assert 256 % nb == 0 and (nb % 8 == 0 or nb == 256)
         assert t * nb <= 1024
+
+
+@pytest.mark.parametrize(
+    "t,n_side,width,heads",
+    [
+        (2, 8, 128, 2),   # nb = n (single tile)
+        (3, 8, 128, 2),   # odd t
+        (4, 6, 256, 4),   # n=36 -> nb search hits n%nb constraints
+        (5, 8, 192, 3),   # heads=3, dh=64, odd t
+    ],
+)
+def test_rows_kernel_interpret_shape_fuzz(rng, t, n_side, width, heads):
+    """Interpret-mode rows kernel vs the XLA divided attention across odd
+    shapes: non-16 head counts, odd frame counts, non-power-of-two patch
+    grids (R/nb edge cases of _temporal_block)."""
+    from helping_hand_for_egocentric_videos_tpu.models.spacetime_vit import (
+        _var_attention,
+        _var_attention_split,
+    )
+    from helping_hand_for_egocentric_videos_tpu.models.spacetime_vit import _init_attn
+
+    n = n_side * n_side
+    p = _init_attn(jax.random.PRNGKey(0), width, zero_init=False)
+    x = jnp.asarray(rng.normal(size=(2, 1 + t * n, width)).astype(np.float32))
+
+    want = _var_attention(p, x, t, n, heads, "time")
+    got_c, got_p = _var_attention_split(
+        p, x[:, :1], x[:, 1:], t, n, heads, "time", "pallas_interpret"
+    )
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want[:, :1]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want[:, 1:]), atol=2e-5)
+
+    want = _var_attention(p, x, t, n, heads, "space")
+    got_c, got_p = _var_attention_split(
+        p, x[:, :1], x[:, 1:], t, n, heads, "space", "pallas_interpret"
+    )
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want[:, :1]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want[:, 1:]), atol=2e-5)
