@@ -849,3 +849,103 @@ def test_position_embedding_sine_parity(rng):
             position_embedding_sine(jnp.asarray(mask), num_pos_feats=32, normalize=normalize)
         )
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_eval_model_end_to_end_parity(rng):
+    """The WHOLE zero-shot eval path against the reference EgoMCQ math
+    (run/test_EgoMCQ.py:56-79 + the val transform): uint8 candidate clips
+    -> /255 -> Resize (tensor bilinear, no antialias) -> LaviLa normalize
+    -> frozen backbone feature map -> ObjDecoder -> obj_proj summary query
+    / txt_proj at EOT -> similarity row. Catches wiring divergences the
+    per-module parity tests cannot (preprocess constants, EOT lookup, grid
+    reshape, embed selection)."""
+    import torch.nn.functional as Fт  # noqa: PLC2401
+
+    from helping_hand_for_egocentric_videos_tpu.ops.preprocess import (
+        LAVILA_MEAN,
+        LAVILA_STD,
+    )
+    from helping_hand_for_egocentric_videos_tpu.train.evaluate import EvalModel
+
+    # tiny CLIP but with the real 768-wide text tower (the reference
+    # ObjDecoder hard-codes txt_proj = Linear(768, 256), tfm_decoder:168-173)
+    torch.manual_seed(5)
+    clip = CLIP(
+        embed_dim=16,
+        vision_width=WIDTH,
+        vision_model=make_vision_tower(T, seed=5),
+        context_length=12,
+        vocab_size=64,
+        transformer_width=768,
+        transformer_heads=4,
+        transformer_layers=2,
+        tempearture_init=0.07,
+    )
+    randomize_(clip.transformer, 6)
+    randomize_(clip.ln_final, 7)
+    with torch.no_grad():
+        clip.token_embedding.weight.copy_(
+            0.05 * torch.randn(clip.token_embedding.weight.shape)
+        )
+        clip.positional_embedding.copy_(
+            0.05 * torch.randn(clip.positional_embedding.shape)
+        )
+    clip = clip.eval()
+    dec = _make_ref_decoder(5, seed=8)
+
+    n_cand = 5
+    video_u8 = (rng.random((n_cand, T, 40, 56, 3)) * 255).astype(np.uint8)
+    tokens = rand_tokens(rng, 1)
+
+    # ---- reference side: val transform + eval math
+    with torch.no_grad():
+        v = torch.from_numpy(video_u8.astype(np.float32) / 255.0)
+        v = v.permute(0, 1, 4, 2, 3).flatten(0, 1)  # (5T, C, H, W)
+        v = Fт.interpolate(v, size=(IMG, IMG), mode="bilinear", align_corners=False)
+        mean = torch.tensor(LAVILA_MEAN).view(1, 3, 1, 1)
+        std = torch.tensor(LAVILA_STD).view(1, 3, 1, 1)
+        v = ((v - mean) / std).reshape(n_cand, T, 3, IMG, IMG)
+        out = clip(v, torch.from_numpy(tokens), return_feature_map=True)
+        image_fmap = out["image_feature_map"]
+        text_fmap = out["text_feature_map"]
+        grid = image_fmap[:, 1:].reshape(n_cand, T, -1, WIDTH)
+        model_out, hs, _, _ = dec(grid)
+        eot = tokens.argmax(-1)
+        want_text = dec.txt_proj(text_fmap[torch.arange(1), eot]).numpy()
+        want_vids = dec.obj_proj(hs[-1])[:, -1].numpy()
+
+    # ---- this framework: EvalModel with converted weights
+    backbone = convert_lavila_checkpoint(sd_np(clip), visual_depth=DEPTH, text_layers=2)
+    decoder = convert_decoder_checkpoint(sd_np(dec), num_layers=2)
+    model = EvalModel(
+        backbone_params=backbone,
+        lavila_cfg=LavilaConfig(
+            visual=vision_cfg(T),
+            text=TextConfig(
+                vocab_size=64, context_length=12, width=768, heads=4,
+                layers=2, embed_dim=16,
+            ),
+            embed_dim=16,
+        ),
+        decoder_params=decoder,
+        dec_cfg=_my_dec_cfg(5),
+        tokenizer=None,  # tokens passed directly below
+        input_res=IMG,
+        dtype=jnp.float32,
+    )
+    got_vids, _ = model.embed_video(video_u8)
+    got_text = np.asarray(
+        model._embed_text(model.backbone_params, model.decoder_params,
+                          jnp.asarray(tokens.astype(np.int32)))
+    )
+
+    np.testing.assert_allclose(got_text, want_text, rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(got_vids, want_vids, rtol=1e-4, atol=2e-4)
+
+    # the MCQ similarity row (sim_matrix == reference model/metric.py:363-375)
+    from helping_hand_for_egocentric_videos_tpu.metrics.sim import sim_matrix
+
+    got_sim = np.asarray(sim_matrix(jnp.asarray(got_text), jnp.asarray(got_vids)))
+    t_n = torch.from_numpy(want_text) / torch.from_numpy(want_text).norm(dim=-1, keepdim=True)
+    v_n = torch.from_numpy(want_vids) / torch.from_numpy(want_vids).norm(dim=-1, keepdim=True)
+    np.testing.assert_allclose(got_sim, (t_n @ v_n.T).numpy(), rtol=1e-4, atol=2e-4)
