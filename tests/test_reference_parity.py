@@ -90,8 +90,21 @@ def _install_stubs():
             setattr(tfs, name, type(name, (), {}))
         tfs.InterpolationMode = types.SimpleNamespace(BICUBIC="bicubic")
         tv.transforms = tfs
+
+        def _box_area(boxes):
+            return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
+        ops = _stub_module("torchvision.ops")
+        ops_boxes = _stub_module("torchvision.ops.boxes")
+        ops_boxes.box_area = _box_area
+        ops.boxes = ops_boxes
+        ops.misc = _stub_module("torchvision.ops.misc")
+        tv.ops = ops
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tfs
+        sys.modules["torchvision.ops"] = ops
+        sys.modules["torchvision.ops.boxes"] = ops_boxes
+        sys.modules["torchvision.ops.misc"] = ops.misc
 
     if "ftfy" not in sys.modules:
         ftfy = _stub_module("ftfy")
@@ -949,3 +962,104 @@ def test_eval_model_end_to_end_parity(rng):
     t_n = torch.from_numpy(want_text) / torch.from_numpy(want_text).norm(dim=-1, keepdim=True)
     v_n = torch.from_numpy(want_vids) / torch.from_numpy(want_vids).norm(dim=-1, keepdim=True)
     np.testing.assert_allclose(got_sim, (t_n @ v_n.T).numpy(), rtol=1e-4, atol=2e-4)
+
+
+def test_pretrain_loss_end_to_end_parity(rng):
+    """The INTEGRATED training loss vs the reference loop math
+    (run/train.py:120-192): EgoNCE on the text/video embeds + Hungarian
+    hand/obj box losses (SetCriterion weights 5/2, the /(len/3) quirk) +
+    0.5 x word contrastive — computed on identical backbone features and
+    converted decoder weights. Catches glue the per-loss oracles cannot:
+    EOT lookup, query splits, per-frame flattening order, pad-row mask,
+    loss weights and the total sum."""
+    from model.box_utils import SetCriterion, build_matcher
+    from model.box_utils import compute_box_loss as ref_compute_box_loss
+
+    from helping_hand_for_egocentric_videos_tpu.train.step import (
+        TrainConfig,
+        pretrain_loss_and_metrics,
+    )
+
+    b, r, nq_arg = 3, 5, 4  # decoder queries = nq_arg + 1
+    dec = _make_ref_decoder(nq_arg + 1, seed=11)
+    params = convert_decoder_checkpoint(sd_np(dec), num_layers=2)
+
+    grid = rng.normal(size=(b, T, 4, WIDTH)).astype(np.float32)
+    text_fmap = (rng.normal(size=(b * r, 12, 768)) * 0.1).astype(np.float32)
+    tokens = rand_tokens(rng, b * r)
+    tokens[3, 3:] = 0  # a "padded" rephrase row: exactly [SOT, EOT] nonzero
+    tokens[3, 1] = 63
+    tokens[3, 2:] = 0
+    noun_vec = (rng.random((b, 582)) < 0.05).astype(np.float32)
+    verb_vec = (rng.random((b, 118)) < 0.1).astype(np.float32)
+    boxes = (rng.random((b, T, 4, 4)) * 150).astype(np.float32) + np.array(
+        [0, 0, 60, 60], np.float32
+    )
+    boxes[0, 0, 1] = 0.0  # a degenerate (empty) box slot
+    nouns = rng.integers(0, 20, size=(b, 4)).astype(np.int64)
+    noun_dict = (rng.normal(size=(20, 768)) * 0.1).astype(np.float32)
+
+    # ---- reference side (run/train.py:120-192)
+    from model.loss import EgoNCE, WordContrastiveLoss
+    from model.metric import sim_matrix as ref_sim
+
+    with torch.no_grad():
+        model_out, hs, _, _ = dec(torch.from_numpy(grid))
+        tk = torch.from_numpy(tokens)
+        text_embeds = dec.txt_proj(
+            torch.from_numpy(text_fmap)[torch.arange(b * r), tk.argmax(-1)]
+        )
+        video_embeds = dec.obj_proj(hs[-1])[:, -1]
+        sim = ref_sim(text_embeds, video_embeds)
+        sim_v = ref_sim(torch.from_numpy(verb_vec), torch.from_numpy(verb_vec))
+        sim_n = ref_sim(torch.from_numpy(noun_vec), torch.from_numpy(noun_vec))
+        pad = ((tk != 0).sum(-1) != 2).float()[:, None].repeat(1, b)
+        nce_t, _ = EgoNCE()(sim, sim_v, sim_n, multi_pad_mask=pad, strict_mask=True)
+
+        criterion = SetCriterion(
+            22047,
+            matcher=build_matcher(None),
+            weight_dict={
+                "loss_bbox_hand_boxes": 5,
+                "loss_bbox_obj_boxes": 5,
+                "loss_giou_hand_boxes": 2,
+                "loss_giou_obj_boxes": 2,
+            },
+            eos_coef=0.1,
+            losses=["boxes", "cardinality"],
+        )
+        image_size = torch.full((b * T, 2), 224.0)
+        box_t = 0.0
+        for name, fam in (("hand_boxes", boxes[:, :, :2]), ("obj_boxes", boxes[:, :, 2:])):
+            tb = torch.from_numpy(fam.reshape(b * T, -1, 4).copy())
+            # explicit classes == prepare_targets' None branch without its
+            # .cuda() call (box_utils.py:252-255; no GPU in this env)
+            classes = torch.stack([1 - (bx.sum(-1) != 0).float() for bx in tb])
+            fam_loss, _ = ref_compute_box_loss(
+                name, criterion, model_out, tb, classes, image_size, n_queries=nq_arg
+            )
+            box_t = box_t + fam_loss
+        noun_embeds = dec.txt_proj(torch.from_numpy(noun_dict))
+        pred_noun = dec.obj_proj(hs[-1])[:, :-1]
+        word_t = WordContrastiveLoss()(noun_embeds, pred_noun, torch.from_numpy(nouns))
+        total_t = float(nce_t + box_t + 0.5 * word_t)
+
+    # ---- this framework
+    cfg = TrainConfig(num_queries=nq_arg, rephrase_factor=r)
+    total_j, metrics = pretrain_loss_and_metrics(
+        params,
+        _my_dec_cfg(nq_arg + 1),
+        cfg,
+        jnp.asarray(grid),
+        jnp.asarray(text_fmap),
+        jnp.asarray(tokens.astype(np.int32)),
+        jnp.asarray(noun_vec),
+        jnp.asarray(verb_vec),
+        jnp.asarray(boxes),
+        jnp.asarray(nouns.astype(np.int32)),
+        jnp.asarray(noun_dict),
+    )
+    np.testing.assert_allclose(float(metrics["nce_loss"]), float(nce_t), rtol=1e-4)
+    np.testing.assert_allclose(float(metrics["box_loss"]), float(box_t), rtol=1e-4)
+    np.testing.assert_allclose(float(metrics["word_loss"]), float(word_t), rtol=1e-4)
+    np.testing.assert_allclose(float(total_j), total_t, rtol=1e-4)
