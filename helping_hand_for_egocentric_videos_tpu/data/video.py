@@ -267,9 +267,10 @@ def read_clip_seconds(
     else:
         start_f = max(0, int((start_sec or 0.0) * fps))
         end_f = min(int((end_sec if end_sec is not None else vlen / fps) * fps), vlen)
-        # annotations can outlive a truncated video: clamp the window so
-        # the sampled ids stay increasing instead of a reversed linspace
-        start_f = min(start_f, max(end_f - 1, 0))
+        # annotations can outlive a truncated video or be degenerate:
+        # clamp to a non-empty increasing window
+        end_f = max(end_f, 1)
+        start_f = min(start_f, end_f - 1)
         ids = sample_frames_start_end(num_frames, start_f, end_f, sample=sample, rng=rng)
     return read_frames_at(path, ids, fps), list(ids)
 

@@ -44,9 +44,10 @@ def quantize_linear_params(p: dict) -> dict:
 def int8_linear(p: dict, x: jax.Array) -> jax.Array:
     """Dynamic-activation int8 matmul: y = (x_q @ w_q) * s_x * s_w + b.
 
-    The abs-max reduce runs in the activation dtype (bf16) so no f32 copy
-    of x is ever materialised — only the scale math is f32 (measured ~11%
-    faster per matmul than reducing an f32 upcast, BENCH_NOTES.md r2)."""
+    The abs-max reduce stays in the activation dtype (bf16); the quantize
+    step still upcasts x to f32 (XLA fuses it into the round/clip chain).
+    Measured ~11% faster per isolated matmul than reducing an f32 upcast,
+    ~neutral in the full model (BENCH_NOTES.md r2)."""
     orig_dtype = x.dtype
     s_x = jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32) / 127.0
     s_x = jnp.maximum(s_x, 1e-8)

@@ -164,12 +164,11 @@ def clip_preprocess(images_u8, n_px: int = 224):
     (..., H, W, 3) uint8 -> (..., n_px, n_px, 3) f32."""
     import jax
 
+    from ..ops.preprocess import shortside_dims
+
     *lead, h, w, c = images_u8.shape
     x = images_u8.astype(jnp.float32) / 255.0
-    if h <= w:
-        nh, nw = n_px, max(int(round(w * n_px / h)), n_px)
-    else:
-        nh, nw = max(int(round(h * n_px / w)), n_px), n_px
+    nh, nw = shortside_dims(h, w, n_px)
     # antialiased bicubic on purpose: the reference CLIP transform goes
     # through PIL (openai_clip.py:92), which antialiases — unlike the
     # LaviLa tensor pipeline (ops/preprocess.py, antialias off)

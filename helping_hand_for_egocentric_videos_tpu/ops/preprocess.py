@@ -28,6 +28,7 @@ __all__ = [
     "LAVILA_STD",
     "resize_normalize",
     "shortside_centercrop_normalize",
+    "shortside_dims",
     "spatial_crops",
     "center_plus_four_crops",
     "center_plus_twohori_crops",
@@ -35,6 +36,14 @@ __all__ = [
 
 LAVILA_MEAN = (108.3272985 / 255, 116.7460125 / 255, 104.09373615 / 255)
 LAVILA_STD = (68.5005327 / 255, 66.6321579 / 255, 70.32316305 / 255)
+
+
+def shortside_dims(h: int, w: int, short: int) -> tuple[int, int]:
+    """Target (nh, nw) for a shorter-side resize to ``short`` (torchvision
+    Resize(int) geometry: round the long side, floor at ``short``)."""
+    if h <= w:
+        return short, max(int(round(w * short / h)), short)
+    return max(int(round(h * short / w)), short), short
 
 
 def _norm(x, mean, std):
@@ -80,10 +89,7 @@ def shortside_centercrop_normalize(
     constants."""
     *lead, h, w, c = video_u8.shape
     x = video_u8.astype(dtype) / 255.0
-    if h <= w:
-        nh, nw = short, max(int(round(w * short / h)), short)
-    else:
-        nh, nw = max(int(round(h * short / w)), short), short
+    nh, nw = shortside_dims(h, w, short)
     x = jax.image.resize(x, (*lead, nh, nw, c), method="bilinear", antialias=False)
     top, left = (nh - short) // 2, (nw - short) // 2
     x = x[..., top : top + short, left : left + short, :]
@@ -111,10 +117,7 @@ def spatial_crops(
     """
     *lead, h, w, c = video_u8.shape
     x = video_u8.astype(dtype) / 255.0
-    if h <= w:
-        nh, nw = short, max(int(round(w * short / h)), short)
-    else:
-        nh, nw = max(int(round(h * short / w)), short), short
+    nh, nw = shortside_dims(h, w, short)
     x = jax.image.resize(x, (*lead, nh, nw, c), method="bilinear", antialias=False)
 
     def crop_at(src, top, left):

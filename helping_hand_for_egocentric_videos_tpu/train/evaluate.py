@@ -128,6 +128,17 @@ def _cos(a, b):
     return np.asarray(sim_matrix(jnp.asarray(a), jnp.asarray(b)))
 
 
+def _reject_multicrop(model):
+    """crops3/6 preprocess returns crop-major (k*B, E) embeddings; only
+    run_egtea's row max-pool is shape-agnostic to that."""
+    if getattr(model, "preprocess", "").startswith("crops"):
+        raise ValueError(
+            "multi-crop preprocess returns crop-major (k*B, E) embeddings; "
+            "only run_egtea's row max-pool supports it (use preprocess="
+            "'resize' here)"
+        )
+
+
 def run_egomcq(
     model: EvalModel,
     dataset,
@@ -145,12 +156,7 @@ def run_egomcq(
     truth and types for offline diffing (the reference saves an equivalent
     .pth, run/test_EgoMCQ.py:119).
     """
-    if getattr(model, "preprocess", "").startswith("crops"):
-        raise ValueError(
-            "multi-crop preprocess returns crop-major (k*B, E) embeddings; "
-            "only run_egtea's row max-pool supports it (use preprocess="
-            "'resize' here)"
-        )
+    _reject_multicrop(model)
     preds, gts, types = [], [], []
     n = len(dataset) if limit is None else min(limit, len(dataset))
     buf = []
@@ -202,12 +208,7 @@ def run_epic_mir(
     ``out_sims`` dumps an .npz with the raw text x video cosine matrix
     (pre-postprocessing, what the reference torch.saves at
     run/test_epic.py:263-265) plus the re-indexed matrix fed to nDCG/mAP."""
-    if getattr(model, "preprocess", "").startswith("crops"):
-        raise ValueError(
-            "multi-crop preprocess returns crop-major (k*B, E) embeddings; "
-            "only run_egtea's row max-pool supports it (use preprocess="
-            "'resize' here)"
-        )
+    _reject_multicrop(model)
     text_embeds, vid_embeds = [], []
     n = len(dataset)
     buf_v, buf_t = [], []

@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from helping_hand_for_egocentric_videos_tpu.ops import (
     box_cxcywh_to_xyxy,

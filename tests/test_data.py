@@ -18,7 +18,6 @@ from helping_hand_for_egocentric_videos_tpu.data import (
     ClipTokenizer,
     PrefetchLoader,
     ShardedSampler,
-    collate,
     prepare_train_batch,
     sample_frames,
     sample_frames_start_end,
@@ -417,3 +416,19 @@ def test_round_robin_loader_alternates_and_undersamples():
     got = list(rr)
     assert got == ["a0", "b0", "a1", "b1", "a2", "b2"]
     assert rr.num_samples() == 8
+
+
+def test_read_clip_seconds_degenerate_window(tmp_path):
+    """end_sec <= start_sec (or 0) still yields num_frames valid frames."""
+    from helping_hand_for_egocentric_videos_tpu.data.video import read_clip_seconds
+
+    rng = np.random.default_rng(3)
+    np.save(tmp_path / "d.mp4.npy", (rng.random((30, 8, 8, 3)) * 255).astype(np.uint8))
+    for start, end in ((0.0, 0.0), (2.0, 1.0), (-1.0, 0.0)):
+        frames, ids = read_clip_seconds(
+            str(tmp_path / "d.mp4"), 4, sample="uniform", start_sec=start, end_sec=end
+        )
+        # windows shorter than num_frames undersample like the reference
+        # sampler (acc = min(num_frames, end)); datasets pad downstream
+        assert 1 <= frames.shape[0] <= 4 and frames.shape[1:] == (8, 8, 3)
+        assert ids == sorted(ids) and all(0 <= i < 30 for i in ids), (start, end)

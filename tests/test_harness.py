@@ -3,7 +3,6 @@ models with synthetic fixtures (npy clips instead of mp4)."""
 
 import json
 import os
-import pickle
 
 import numpy as np
 import pytest

@@ -11,7 +11,6 @@ from scipy.optimize import linear_sum_assignment
 from scipy.special import log_softmax
 
 from helping_hand_for_egocentric_videos_tpu.losses import (
-    MatchCosts,
     box_set_loss,
     compute_box_loss,
     egonce_loss,

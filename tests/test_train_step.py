@@ -13,7 +13,6 @@ from pathlib import Path
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 

@@ -16,8 +16,6 @@ from helping_hand_for_egocentric_videos_tpu.models import (
     SpaceTimeConfig,
     TextConfig,
     decoder_forward,
-    encode_text,
-    spacetime_forward,
 )
 from helping_hand_for_egocentric_videos_tpu.models.lavila import LavilaConfig, lavila_forward
 from helping_hand_for_egocentric_videos_tpu.models.weights import (
