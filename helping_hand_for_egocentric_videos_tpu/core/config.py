@@ -48,6 +48,9 @@ class OptimCfg:
     eval_freq: int = 2500
     runtime_save_iter: int = 2500
     keep_checkpoints: int = 10
+    # capture a jax profiler trace (xplane, viewable offline via
+    # utils/profiling.top_ops) around this global step; 0 disables
+    profile_step: int = 0
 
 
 @dataclass

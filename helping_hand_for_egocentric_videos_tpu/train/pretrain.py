@@ -200,7 +200,18 @@ def pretrain(
                 batch.pop("text_str", None)
                 batch = shard_batch(batch, mesh)  # uint8 video: preprocess
                 rng, step_rng = jax.random.split(rng)  # is fused in the step
-                state, metrics = step_fn(state, backbone, batch, noun_dict, step_rng)
+                if cfg.optim.profile_step and step + 1 == cfg.optim.profile_step:
+                    # one-step device trace (SURVEY 5.1: real profiles, not
+                    # wall-clock); inspect with utils/profiling.top_ops
+                    from ..utils.profiling import trace
+
+                    with trace(os.path.join(exp_dir, "profile")):
+                        state, metrics = step_fn(
+                            state, backbone, batch, noun_dict, step_rng
+                        )
+                        jax.block_until_ready(metrics["total_loss"])
+                else:
+                    state, metrics = step_fn(state, backbone, batch, noun_dict, step_rng)
                 step += 1
                 if step % 5 == 0 or max_steps:
                     m = {k: float(v) for k, v in metrics.items()}

@@ -238,12 +238,16 @@ def test_pretrain_loop_end_to_end(egoclip_fixture, tmp_path):
     cfg.optim.epochs = 1
     cfg.parallel.backbone_dtype = "float32"
     cfg.parallel.num_devices = 2  # global batch (pos+neg=4) must divide
+    cfg.optim.profile_step = 2  # capture a device trace around step 2
 
     state, best = pretrain(cfg, max_steps=3, eval_limit=2, models=tiny_models())
     assert int(state.step) == 3
     exp = tmp_path / "runs" / "tiny"
     assert (exp / "running_config.json").exists()
     assert (exp / "train_metrics.jsonl").exists()
+    import glob as _glob
+
+    assert _glob.glob(str(exp / "profile" / "**" / "*.xplane.pb"), recursive=True)
     assert latest_step(str(exp / "checkpoints")) == 2
     # metrics are parseable and finite
     lines = [json.loads(l) for l in open(exp / "train_metrics.jsonl")]
