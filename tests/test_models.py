@@ -272,8 +272,12 @@ def test_backbone_pallas_interpret_matches_xla(rng):
     video = jnp.asarray(rng.normal(size=(2, 2, 112, 112, 3)).astype(np.float32))
     a_cls, a = spacetime_forward(params, cfg_xla, video, use_remat=False, dtype=jnp.float32)
     b_cls, b = spacetime_forward(params, cfg_pl, video, use_remat=False, dtype=jnp.float32)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
-    np.testing.assert_allclose(np.asarray(a_cls), np.asarray(b_cls), atol=2e-5)
+    # on a TPU backend, interpret mode executes the kernel's pinned
+    # precision=DEFAULT dots on the MXU (bf16 passes) while the XLA path
+    # runs under conftest's 'highest' override — tolerance must widen
+    atol = 2e-5 if jax.default_backend() == "cpu" else 3e-2
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+    np.testing.assert_allclose(np.asarray(a_cls), np.asarray(b_cls), atol=atol)
 
 
 def test_temporal_block_sizes_bounded():
@@ -317,16 +321,16 @@ def test_rows_kernel_interpret_shape_fuzz(rng, t, n_side, width, heads):
     p = _init_attn(jax.random.PRNGKey(0), width, zero_init=False)
     x = jnp.asarray(rng.normal(size=(2, 1 + t * n, width)).astype(np.float32))
 
-    want = _var_attention(p, x, t, n, heads, "time")
-    got_c, got_p = _var_attention_split(
-        p, x[:, :1], x[:, 1:], t, n, heads, "time", "pallas_interpret"
-    )
-    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want[:, :1]), atol=2e-5)
-    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want[:, 1:]), atol=2e-5)
-
-    want = _var_attention(p, x, t, n, heads, "space")
-    got_c, got_p = _var_attention_split(
-        p, x[:, :1], x[:, 1:], t, n, heads, "space", "pallas_interpret"
-    )
-    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want[:, :1]), atol=2e-5)
-    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want[:, 1:]), atol=2e-5)
+    # see test_backbone_pallas_interpret_matches_xla for the TPU tolerance
+    atol = 2e-5 if jax.default_backend() == "cpu" else 3e-2
+    for mode in ("time", "space"):
+        want = _var_attention(p, x, t, n, heads, mode)
+        got_c, got_p = _var_attention_split(
+            p, x[:, :1], x[:, 1:], t, n, heads, mode, "pallas_interpret"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_c), np.asarray(want[:, :1]), atol=atol, err_msg=mode
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_p), np.asarray(want[:, 1:]), atol=atol, err_msg=mode
+        )
