@@ -305,6 +305,7 @@ def test_temporal_block_sizes_bounded():
         (3, 8, 128, 2),   # odd t
         (4, 6, 256, 4),   # n=36 -> nb search hits n%nb constraints
         (5, 8, 192, 3),   # heads=3, dh=64, odd t
+        (48, 4, 128, 2),  # long clip: nb falls to the minimum 8-patch tile
     ],
 )
 def test_rows_kernel_interpret_shape_fuzz(rng, t, n_side, width, heads):

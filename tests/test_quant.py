@@ -127,3 +127,60 @@ def test_int8_retrieval_rank_stability(rng):
 
     rho = spearmanr(s_f32.ravel(), s_int8.ravel()).statistic
     assert rho > 0.99, rho
+
+
+def test_bf16_eval_rank_stability(rng):
+    """The eval path runs the frozen tower in bf16 (the train/eval default);
+    retrieval rank order must be stable vs the f32 reference at flagship
+    depth — the random-weight proxy for the real-weight bf16-vs-f32
+    ablation (TODO.md)."""
+    from helping_hand_for_egocentric_videos_tpu.models import (
+        DecoderConfig,
+        decoder_forward,
+        init_decoder_params,
+    )
+    from helping_hand_for_egocentric_videos_tpu.models import obj_decoder as dec_mod
+    from helping_hand_for_egocentric_videos_tpu.models.clip_text import TextConfig
+    from helping_hand_for_egocentric_videos_tpu.models.lavila import (
+        LavilaConfig,
+        encode_image,
+        init_lavila_params,
+    )
+
+    t, n_videos = 2, 12
+    cfg = LavilaConfig(
+        visual=SpaceTimeConfig(
+            img_size=56, patch_size=14, width=128, depth=24, heads=4, num_frames=t
+        ),
+        text=TextConfig(width=64, heads=4, layers=2, embed_dim=64),
+        embed_dim=64,
+    )
+    dcfg = DecoderConfig(
+        d_model=64, nhead=4, num_layers=2, dim_feedforward=128, dropout=0.0,
+        num_queries=5, feature_dim=128, text_width=64, embed_dim=64,
+        num_frames=t, patches_per_frame=cfg.visual.patches_per_frame,
+        pred_traj=False,
+    )
+    params = init_lavila_params(jax.random.PRNGKey(7), cfg)
+    dec = init_decoder_params(jax.random.PRNGKey(8), dcfg)
+    video = jnp.asarray(rng.normal(size=(n_videos, t, 56, 56, 3)).astype(np.float32))
+    texts = jnp.asarray(rng.normal(size=(n_videos, 64)).astype(np.float32))
+    text_embed = dec_mod.txt_proj(dec, texts)
+
+    def sims(dtype):
+        _, fmap = encode_image(params, cfg, video, use_remat=False, dtype=dtype)
+        grid = fmap[:, 1:, :].reshape(n_videos, t, -1, 128)
+        out = decoder_forward(dec, dcfg, grid)
+        v = dec_mod.obj_proj(dec, out.hs[-1])[:, -1]
+        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        q = text_embed / jnp.linalg.norm(text_embed, axis=-1, keepdims=True)
+        return np.asarray(q @ v.T)
+
+    s32 = sims(jnp.float32)
+    s16 = sims(jnp.bfloat16)
+    assert (s32.argmax(1) == s16.argmax(1)).mean() >= 0.9
+
+    from scipy.stats import spearmanr
+
+    rho = spearmanr(s32.ravel(), s16.ravel()).statistic
+    assert rho > 0.99, rho
