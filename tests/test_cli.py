@@ -45,3 +45,38 @@ def test_cli_egomcq_rejects_unknown_args(egoclip_fixture):  # noqa: F811
 
     with pytest.raises(SystemExit):
         test_egomcq.main(["--no_such_flag"])
+
+
+def test_cli_extract_features_end_to_end(tmp_path):
+    """cli.extract_features: sliding windows over .npy-backed videos ->
+    per-video .npz feature sequences (MQ/NLQ-style extraction)."""
+    import numpy as np
+
+    from helping_hand_for_egocentric_videos_tpu.cli import extract_features
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "videos"
+    data.mkdir()
+    np.save(data / "a.mp4.npy", (rng.random((70, 16, 24, 3)) * 255).astype(np.uint8))
+    np.save(data / "b.mp4.npy", (rng.random((40, 16, 24, 3)) * 255).astype(np.uint8))
+    out = tmp_path / "feats"
+
+    extract_features.main(
+        [
+            "--data_dir", str(data),
+            "--out_dir", str(out),
+            "--backbone", "timesformer_tiny",
+            "--num_queries", "4",
+            "--num_frames", "4",
+            "--stride_sec", "1.0",
+            "--fps", "30.0",
+        ]
+    )
+    files = sorted(out.glob("*.features.npz"))
+    assert len(files) == 2
+    z = np.load(files[0], allow_pickle=True)
+    # 70 frames, 4-frame windows, stride 30 -> starts 0, 30, 60 -> 3 windows
+    assert z["features"].shape == (3, 256)
+    assert list(z["starts"]) == [0.0, 1.0, 2.0]
+    z2 = np.load(files[1], allow_pickle=True)
+    assert z2["features"].shape == (2, 256)  # 40 frames -> starts 0, 30
