@@ -80,3 +80,189 @@ def test_cli_extract_features_end_to_end(tmp_path):
     assert list(z["starts"]) == [0.0, 1.0, 2.0]
     z2 = np.load(files[1], allow_pickle=True)
     assert z2["features"].shape == (2, 256)  # 40 frames -> starts 0, 30
+
+
+def _epic_fixture(tmp_path):
+    """Miniature EPIC-100 retrieval layout (meta + npy-backed videos)."""
+    import pickle
+
+    import pandas as pd
+    import torch
+
+    rng = np.random.default_rng(0)
+    meta = tmp_path / "epic_meta"
+    data = tmp_path / "epic_data"
+    (meta / "retrieval_annotations").mkdir(parents=True)
+    (meta / "relevancy").mkdir()
+
+    n = 4
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "narration_id": f"P01_01_{i}",
+                "participant_id": "P01",
+                "video_id": "P01_01",
+                "narration_timestamp": "00:00:00.00",
+                "start_timestamp": f"00:00:{i:02d}.00",
+                "stop_timestamp": f"00:00:{i + 1:02d}.50",
+                "start_frame": i * 30,
+                "stop_frame": (i + 1) * 30,
+                "narration": f"take plate {i}",
+            }
+        )
+    pd.DataFrame(rows).to_csv(
+        meta / "retrieval_annotations" / "EPIC_100_retrieval_test.csv", index=False
+    )
+    pd.DataFrame(
+        {"narration_id": [r["narration_id"] for r in rows],
+         "sentence": [r["narration"] for r in rows]}
+    ).to_csv(
+        meta / "retrieval_annotations" / "EPIC_100_retrieval_test_sentence.csv",
+        index=False,
+    )
+    with open(meta / "relevancy" / "caption_relevancy_EPIC_100_retrieval_test.pkl", "wb") as f:
+        pickle.dump(np.eye(n, n).astype(np.float32), f)
+    with open(meta / "indexes.pkl", "wb") as f:
+        pickle.dump(np.arange(n), f)
+
+    vdir = data / "P01"
+    vdir.mkdir(parents=True)
+    np.save(vdir / "P01_01.MP4.npy", (rng.random((200, 16, 24, 3)) * 255).astype(np.uint8))
+    video_fp = str(data / "P01" / "P01_01.MP4")
+    torch.save({video_fp: 30.0}, str(meta / "fps_dict_256.pth"))
+    return str(meta), str(data)
+
+
+def test_cli_epic_end_to_end(tmp_path):
+    """cli.test_epic on a miniature EPIC layout: dataset parsing (timestamps,
+    fps dict, relevancy/indexes), harness, metric output and dumps."""
+    import json
+
+    from helping_hand_for_egocentric_videos_tpu.cli import test_epic
+
+    meta, data = _epic_fixture(tmp_path)
+    out = tmp_path / "epic.json"
+    test_epic.main(
+        [
+            "--meta_dir", meta,
+            "--data_dir", data,
+            "--backbone", "timesformer_tiny",
+            "--num_queries", "4",
+            "--num_frames", "4",
+            "--batch_size", "2",
+            "--out", str(out),
+        ]
+    )
+    res = json.loads(out.read_text())
+    for k in ("mAP_AVG", "nDCG_AVG"):
+        assert 0 <= res[k] <= 1.0001
+
+
+def _egtea_fixture(tmp_path):
+    """Miniature EGTEA layout: splits, action_idx, len_dict, npy clips."""
+    import torch
+
+    rng = np.random.default_rng(1)
+    meta = tmp_path / "egtea_meta"
+    data = tmp_path / "egtea_clips"
+    meta.mkdir()
+    (meta / "action_idx.txt").write_text("Open_Drawer 1\nCut_Onion 2\n")
+    clips = ["OP01-R01-Pasta-100", "OP01-R01-Pasta-101", "OP02-R02-Salad-7"]
+    labels = [1, 2, 1]
+    (meta / "test_split1.txt").write_text(
+        "\n".join(f"{c} {l}" for c, l in zip(clips, labels)) + "\n"
+    )
+    len_dict = {}
+    for c in clips:
+        vid = "-".join(c.split("-")[:3])
+        d = data / vid
+        d.mkdir(parents=True, exist_ok=True)
+        n = 24
+        np.save(d / f"{c}.mp4.npy", (rng.random((n, 16, 24, 3)) * 255).astype(np.uint8))
+        len_dict[str(data / vid / f"{c}.mp4")] = n
+    torch.save({"len_dict": len_dict}, str(meta / "egtea_video_list.pth.tar"))
+    return str(meta), str(data)
+
+
+def test_cli_egtea_end_to_end(tmp_path):
+    """cli.test_egtea on a miniature EGTEA layout incl. --spatial_crops 3."""
+    import json
+
+    from helping_hand_for_egocentric_videos_tpu.cli import test_egtea
+
+    meta, data = _egtea_fixture(tmp_path)
+    out = tmp_path / "egtea.json"
+    test_egtea.main(
+        [
+            "--meta_dir", meta,
+            "--data_dir", data,
+            "--backbone", "timesformer_tiny",
+            "--num_queries", "4",
+            "--num_frames", "4",
+            "--num_clips", "2",
+            "--splits", "1",
+            "--spatial_crops", "3",
+            "--out", str(out),
+        ]
+    )
+    res = json.loads(out.read_text())
+    assert 0 <= res["mean_class_acc"] <= 100 and 0 <= res["top1"] <= 100
+
+
+def test_cli_train_end_to_end(egoclip_fixture, tmp_path):  # noqa: F811
+    """cli.train arg plumbing through two real steps on the fixture."""
+    import torch
+
+    from helping_hand_for_egocentric_videos_tpu.cli import train as train_cli
+
+    meta, data = egoclip_fixture
+    # the shared fixture's noun embeddings are 16-wide (tiny_models text
+    # tower); the CLI builds timesformer_tiny whose text width is 64
+    torch.save(
+        {"pad": torch.zeros(64), "drawer": torch.ones(64), "knife": torch.full((64,), 2.0)},
+        f"{meta}/noun_dict_lavila_embeds.pth",
+    )
+    train_cli.main(
+        [
+            "--name", "clismoke",
+            "--output_dir", str(tmp_path / "runs"),
+            "--meta_dir", meta,
+            "--data_dir", data,
+            "--backbone", "timesformer_tiny",
+            "--batch_size", "2",
+            "--num_workers", "2",
+            "--epochs", "1",
+            "--max_steps", "2",
+            "--eval_freq", "100",
+            "--runtime_save_iter", "100",
+            "--set", "data.input_res=224", "parallel.backbone_dtype=float32",
+            "parallel.num_devices=2",  # global batch (pos+neg=4) must divide
+        ]
+    )
+    exp = tmp_path / "runs" / "clismoke"
+    assert (exp / "running_config.json").exists()
+    assert (exp / "train_metrics.jsonl").exists()
+
+
+def test_cli_visualize_end_to_end(tmp_path):
+    """cli.visualize: decode a clip, draw predicted hand/object boxes and
+    cross-attention heatmaps to out_dir."""
+    from helping_hand_for_egocentric_videos_tpu.cli import visualize
+
+    rng = np.random.default_rng(0)
+    np.save(tmp_path / "0.mp4.npy", (rng.random((90, 32, 48, 3)) * 255).astype(np.uint8))
+    out = tmp_path / "vis"
+    visualize.main(
+        [
+            "--clip", str(tmp_path / "0.mp4"),
+            "--backbone", "timesformer_tiny",
+            "--num_queries", "4",
+            "--start", "0.0",
+            "--end", "1.0",
+            "--out_dir", str(out),
+            "--attn",
+        ]
+    )
+    pngs = list(out.glob("**/*.png")) + list(out.glob("**/*.jpg"))
+    assert pngs, list(out.rglob("*"))
