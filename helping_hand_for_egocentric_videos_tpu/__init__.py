@@ -21,4 +21,4 @@ TPU-first:
 - ``train``    pretraining loop and eval harnesses.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
