@@ -212,6 +212,10 @@ def test_cli_egtea_end_to_end(tmp_path):
 
 def test_cli_train_end_to_end(egoclip_fixture, tmp_path):  # noqa: F811
     """cli.train arg plumbing through two real steps on the fixture."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices (virtual CPU mesh)")
     import torch
 
     from helping_hand_for_egocentric_videos_tpu.cli import train as train_cli
