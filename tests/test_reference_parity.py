@@ -1063,3 +1063,26 @@ def test_pretrain_loss_end_to_end_parity(rng):
     np.testing.assert_allclose(float(metrics["box_loss"]), float(box_t), rtol=1e-4)
     np.testing.assert_allclose(float(metrics["word_loss"]), float(word_t), rtol=1e-4)
     np.testing.assert_allclose(float(total_j), total_t, rtol=1e-4)
+
+
+def test_tokenizer_parity():
+    """ClipTokenizer vs the reference SimpleTokenizer (model/tokenizer.py:
+    75-162) token-for-token on realistic narrations (ftfy stubbed as
+    identity — inputs are clean ASCII, which is what EgoClip captions are)."""
+    from model.tokenizer import SimpleTokenizer
+
+    from helping_hand_for_egocentric_videos_tpu.data.tokenizer import ClipTokenizer
+
+    ref = SimpleTokenizer()
+    mine = ClipTokenizer()
+    texts = [
+        "#C C opens a drawer",
+        "the person cuts an onion with a knife.",
+        "Take  the PLATE, wash it!",
+        "a",
+        "",
+        "x " * 100,  # longer than the context -> truncation path
+    ]
+    want = ref(texts).numpy()
+    got = np.asarray(mine(texts))
+    np.testing.assert_array_equal(got, want)
