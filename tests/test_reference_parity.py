@@ -1086,3 +1086,50 @@ def test_tokenizer_parity():
     want = ref(texts).numpy()
     got = np.asarray(mine(texts))
     np.testing.assert_array_equal(got, want)
+
+
+def test_retrieval_metrics_parity(rng):
+    """Rank computation of t2v/v2t and egomcq accuracy vs the reference
+    (model/metric.py:11-225) on random similarity matrices, incl. the
+    tie-breaking and type->[Intra, Inter] mapping quirks.
+
+    Upstream bug: the reference's t2v/v2t_metrics call ``cols2metrics``,
+    which is never defined anywhere in the repo — they crash as shipped
+    (dead code; no entry point uses them). The rank COLUMNS (the quirky
+    averaged-tie logic) are still executable, so we capture those and
+    compare against this framework's ranks via a shared final formula."""
+    from model import metric as ref_metric
+
+    from helping_hand_for_egocentric_videos_tpu.metrics.retrieval import (
+        cols2metrics,
+        egomcq_accuracy_metrics,
+        t2v_metrics,
+        v2t_metrics,
+    )
+
+    sims = rng.normal(size=(20, 20)).astype(np.float64)
+    sims[3] = sims[7]  # exact tie rows exercise the tie-break path
+    ref_metric.cols2metrics = lambda cols, nq: (np.asarray(cols), nq)
+    try:
+        ref_cols_t, nq_t = ref_metric.t2v_metrics(sims.copy())
+        ref_cols_v, nq_v = ref_metric.v2t_metrics(sims.copy())
+    finally:
+        del ref_metric.cols2metrics
+    want_t = cols2metrics(ref_cols_t, nq_t)
+    got_t = t2v_metrics(sims)
+    for k in ("R1", "R5", "R10", "MedR", "MeanR"):
+        np.testing.assert_allclose(got_t[k], want_t[k], rtol=1e-9, err_msg=f"t2v {k}")
+    want_v = cols2metrics(ref_cols_v, nq_v)
+    got_v = v2t_metrics(sims)
+    for k in ("R1", "R5", "R10", "MedR", "MeanR"):
+        np.testing.assert_allclose(got_v[k], want_v[k], rtol=1e-9, err_msg=f"v2t {k}")
+
+    preds = rng.normal(size=(30, 5)).astype(np.float32)
+    gts = rng.integers(0, 5, 30).astype(np.int64)
+    types = rng.integers(1, 3, 30).astype(np.int64)
+    want_e = ref_metric.egomcq_accuracy_metrics(
+        torch.from_numpy(preds), torch.from_numpy(gts), torch.from_numpy(types)
+    )
+    got_e = egomcq_accuracy_metrics(preds, gts, types)
+    for k in ("Intra-video", "Inter-video"):
+        np.testing.assert_allclose(got_e[k], want_e[k], rtol=1e-6, err_msg=k)
