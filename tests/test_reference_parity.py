@@ -1133,3 +1133,65 @@ def test_retrieval_metrics_parity(rng):
     got_e = egomcq_accuracy_metrics(preds, gts, types)
     for k in ("Intra-video", "Inter-video"):
         np.testing.assert_allclose(got_e[k], want_e[k], rtol=1e-6, err_msg=k)
+
+
+def test_ndcg_map_tv_accuracy_parity(rng):
+    """calculate_nDCG / calculate_mAP (utils/nDCG.py, utils/mAP.py) and
+    compute_tv_accuracy (model/metric.py:378-392) vs the reference on
+    random similarity/relevancy matrices."""
+    import sys
+
+    sys.path.insert(0, REFERENCE + "/utils")  # nDCG imports as 'from utils import nDCG'
+    from model import metric as ref_metric
+    from utils import mAP as ref_mAP
+    from utils import nDCG as ref_nDCG
+
+    from helping_hand_for_egocentric_videos_tpu.metrics.map import calculate_mAP
+    from helping_hand_for_egocentric_videos_tpu.metrics.ndcg import (
+        calculate_IDCG,
+        calculate_k_counts,
+        calculate_nDCG,
+    )
+    from helping_hand_for_egocentric_videos_tpu.metrics.sim import (
+        compute_tv_accuracy,
+        sim_matrix,
+    )
+
+    sims = rng.random((12, 18)).astype(np.float64)
+    rel = (rng.random((12, 18)) < 0.3).astype(np.float64) * rng.random((12, 18))
+
+    kc_ref = ref_nDCG.calculate_k_counts(rel)
+    kc = calculate_k_counts(rel)
+    np.testing.assert_array_equal(kc, kc_ref)
+    idcg_ref = ref_nDCG.calculate_IDCG(rel, kc_ref)
+    idcg = calculate_IDCG(rel, kc)
+    np.testing.assert_allclose(idcg, idcg_ref, rtol=1e-12)
+    np.testing.assert_allclose(
+        calculate_nDCG(sims, rel, kc, IDCG=idcg),
+        ref_nDCG.calculate_nDCG(sims, rel, kc_ref, IDCG=idcg_ref),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        calculate_mAP(sims, rel), ref_mAP.calculate_mAP(sims, rel), rtol=1e-12
+    )
+
+    # train-time top-1 accuracy with the EgoNCE-style positive mask
+    n, r, e = 6, 5, 16
+    text_embeds = rng.normal(size=(n * r, e)).astype(np.float32)
+    sim = rng.normal(size=(n, n)).astype(np.float32)  # primary-caption sims
+    sim_v = (rng.random((n, n)) < 0.4).astype(np.float32)
+    sim_n = (rng.random((n, n)) < 0.4).astype(np.float32)
+    want_vt, want_tv = ref_metric.compute_tv_accuracy(
+        torch.from_numpy(sim),
+        torch.from_numpy(text_embeds),
+        torch.from_numpy(sim_v),
+        torch.from_numpy(sim_n),
+        n,
+        "cpu",
+    )
+    got_vt, got_tv = compute_tv_accuracy(
+        jnp.asarray(sim), jnp.asarray(text_embeds), jnp.asarray(sim_v),
+        jnp.asarray(sim_n), n, rephrase_factor=r,
+    )
+    np.testing.assert_allclose(float(got_vt), float(want_vt), rtol=1e-6)
+    np.testing.assert_allclose(float(got_tv), float(want_tv), rtol=1e-6)
