@@ -1195,3 +1195,56 @@ def test_ndcg_map_tv_accuracy_parity(rng):
     )
     np.testing.assert_allclose(float(got_vt), float(want_vt), rtol=1e-6)
     np.testing.assert_allclose(float(got_tv), float(want_tv), rtol=1e-6)
+
+
+def test_box_ops_parity(rng):
+    """GIoU (incl. the reference's +1e-4 IoU denominator quirk), format
+    conversions and crop_boxes vs utils/box_ops.py.
+
+    crop_boxes upstream mixes axes in its clamp bounds (x2_max = y1 + w,
+    box_ops.py:122-125) — visible only for offset crops of a feature that
+    is off by default; the oracle covers the zero-offset crop + resize
+    path where both implementations define the same math."""
+    from utils import box_ops as ref_box_ops
+
+    from helping_hand_for_egocentric_videos_tpu.data.box_crop import (
+        apply_crop_to_boxes,
+    )
+    from helping_hand_for_egocentric_videos_tpu.ops.boxes import (
+        box_cxcywh_to_xyxy,
+        box_xyxy_to_cxcywh,
+        generalized_box_iou,
+    )
+
+    n, m = 7, 5
+    b1 = rng.random((n, 4)).astype(np.float32)
+    b1 = np.concatenate([b1[:, :2], b1[:, :2] + b1[:, 2:] * 0.5 + 0.01], axis=1)
+    b2 = rng.random((m, 4)).astype(np.float32)
+    b2 = np.concatenate([b2[:, :2], b2[:, :2] + b2[:, 2:] * 0.5 + 0.01], axis=1)
+
+    want = ref_box_ops.generalized_box_iou(
+        torch.from_numpy(b1), torch.from_numpy(b2)
+    ).numpy()
+    got = np.asarray(generalized_box_iou(jnp.asarray(b1), jnp.asarray(b2)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    cxcywh = rng.random((6, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(box_cxcywh_to_xyxy(jnp.asarray(cxcywh))),
+        ref_box_ops.box_cxcywh_to_xyxy(torch.from_numpy(cxcywh)).numpy(),
+        rtol=1e-6,
+    )
+    xyxy = np.sort(rng.random((6, 4)).astype(np.float32), axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(box_xyxy_to_cxcywh(jnp.asarray(xyxy))),
+        ref_box_ops.box_xyxy_to_cxcywh(torch.from_numpy(xyxy)).numpy(),
+        rtol=1e-6,
+    )
+
+    boxes = (rng.random((4, 4)) * 200).astype(np.float32)
+    crop = np.array([0, 0, 128, 160], np.float32)  # y1, x1, h, w
+    want_c = ref_box_ops.crop_boxes(
+        torch.from_numpy(boxes.copy()), torch.from_numpy(crop), resize_target=224
+    ).numpy()
+    got_c = apply_crop_to_boxes(boxes.copy(), crop, resize_target=224)
+    np.testing.assert_allclose(got_c, want_c, rtol=1e-5)
