@@ -1248,3 +1248,103 @@ def test_box_ops_parity(rng):
     ).numpy()
     got_c = apply_crop_to_boxes(boxes.copy(), crop, resize_target=224)
     np.testing.assert_allclose(got_c, want_c, rtol=1e-5)
+
+
+def _import_ref_egoclip():
+    """Import the reference EgoClip dataset class with decode-stack stubs
+    (av/decord/ffmpeg/iopath and torchvision video transforms are only
+    touched by the video path, not the metadata logic under test)."""
+    import torch.nn as nn
+
+    for name in ("av", "decord", "ffmpeg"):
+        if name not in sys.modules:
+            sys.modules[name] = _stub_module(name)
+    if "decord" in sys.modules and not hasattr(sys.modules["decord"], "bridge"):
+        sys.modules["decord"].bridge = types.SimpleNamespace(set_bridge=lambda *_: None)
+    if "iopath" not in sys.modules:
+        iopath = _stub_module("iopath")
+        common = _stub_module("iopath.common")
+        fio = _stub_module("iopath.common.file_io")
+        fio.g_pathmgr = types.SimpleNamespace(open=open)
+        common.file_io = fio
+        iopath.common = common
+        sys.modules["iopath"] = iopath
+        sys.modules["iopath.common"] = common
+        sys.modules["iopath.common.file_io"] = fio
+    tv = sys.modules["torchvision"]
+    if not hasattr(tv.transforms, "_transforms_video"):
+        tvv = _stub_module("torchvision.transforms._transforms_video")
+        for cls in ("RandomResizedCropVideo", "NormalizeVideo", "RandomHorizontalFlipVideo", "CenterCropVideo"):
+            setattr(tvv, cls, type(cls, (nn.Module,), {}))
+        tv.transforms._transforms_video = tvv
+        sys.modules["torchvision.transforms._transforms_video"] = tvv
+    if not hasattr(tv.transforms, "functional"):
+        tvf = _stub_module("torchvision.transforms.functional")
+        tv.transforms.functional = tvf
+        sys.modules["torchvision.transforms.functional"] = tvf
+    if not hasattr(tv.transforms, "Compose"):
+        pass  # already stubbed in _install_stubs
+
+    from data_loader.EgoClip_EgoMCQ_dataset import EgoClip_EgoMCQ
+
+    return EgoClip_EgoMCQ
+
+
+def test_egoclip_noun_extraction_and_rephrased_parity(rng):
+    """The EgoClip metadata quirks vs the reference class methods
+    (EgoClip_EgoMCQ_dataset.py:172-243): noun extraction (two-word-first
+    matching, plural stripping, exclude list, index-into-dictionary) and
+    the rephrased-caption ±0.5 s lookup with its first-caption-mismatch
+    fallback."""
+    import pandas as pd
+
+    from helping_hand_for_egocentric_videos_tpu.data.egoclip import EgoClipDataset
+
+    RefDS = _import_ref_egoclip()
+
+    nouns = ["pad", "drawer", "knife", "kitchen knife", "plate", "onion"]
+    groups = [["drawer"], ["knife", "kitchen knife"], ["plate"], ["onion"], ["hand"]]
+    noun_pd = pd.DataFrame({"group": groups})
+
+    ref = RefDS.__new__(RefDS)
+    ref.noun_pd = noun_pd
+    ref.all_nouns = nouns
+
+    mine = EgoClipDataset.__new__(EgoClipDataset)
+    mine.noun_groups = groups
+    mine.all_nouns = nouns
+
+    captions = [
+        "#C C opens a drawer with the kitchen knife.",
+        "the person puts plates, onions and knives on drawers",
+        "a hand holds the knife",  # 'hand' excluded, 'knife' kept
+        "nothing relevant here",
+        "knife knife knife knife knife drawer",  # repeat + cap at 4
+    ]
+    for cap in captions:
+        sample = {"tag_noun": "[0, 1, 2, 3, 4]"}
+        w_ref, arr_ref = RefDS.extract_noun(ref, sample, cap)
+        w_my, arr_my = mine._extract_nouns(sample, cap)
+        assert w_my == w_ref, (cap, w_my, w_ref)
+        np.testing.assert_array_equal(arr_my, arr_ref.numpy().astype(np.int32), err_msg=cap)
+
+    # rephrased ±0.5 s lookup
+    reph = {
+        "vid": {
+            "0": {
+                12.3: [["cap at 12.3"], ["r1"], ["r2"], ["r3"], ["r4"]],
+                99.9: [["unused"]] * 5,
+            }
+        }
+    }
+    ref.rephrased_txts = reph
+    mine.rephrased = reph
+    for start, cap, want_first in (
+        (12.5, "cap at 12.3", "cap at 12.3"),     # within +-0.5 -> match
+        (12.5, "different caption", "different caption"),  # mismatch -> fallback
+        (50.0, "far away", "far away"),           # no entry -> fallback
+    ):
+        got = mine._rephrased_caption({"video_uid": "vid"}, start, cap)
+        want = RefDS._get_rephrased_caption(ref, {"video_uid": "vid"}, [start], cap)
+        assert got == want, (start, cap, got, want)
+        assert got[0] == want_first
