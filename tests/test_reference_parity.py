@@ -1348,3 +1348,48 @@ def test_egoclip_noun_extraction_and_rephrased_parity(rng):
         want = RefDS._get_rephrased_caption(ref, {"video_uid": "vid"}, [start], cap)
         assert got == want, (start, cap, got, want)
         assert got[0] == want_first
+
+
+def test_egoclip_hand_object_boxes_parity(rng, tmp_path):
+    """100DOH pickle indexing vs the reference (load_hand_object_box,
+    EgoClip_EgoMCQ_dataset.py:79-103 + utils/box_ops.py:93-104): top-2
+    detections by score per frame, [hand0, hand1, obj0, obj1] slots, the
+    clip_start ±0.001 key retry, and the image-size lookup."""
+    import pickle as pkl
+
+    from helping_hand_for_egocentric_videos_tpu.data.egoclip import EgoClipDataset
+
+    RefDS = _import_ref_egoclip()
+
+    def dets(n, seed):
+        r = np.random.default_rng(seed)
+        d = r.random((n, 5)).astype(np.float32)
+        d[:, :4] *= 300
+        return d
+
+    per_clip = {"info": {"height": 256, "width": 456}}
+    for fi in range(4):
+        per_clip[fi] = {
+            "hand_dets": dets(3, fi) if fi != 2 else None,  # a frame without hands
+            "obj_dets": dets(4, 10 + fi),
+        }
+    # stored at the -0.001-shifted key: only the retry path finds it
+    info = {round(12.3 - 0.001, 3): per_clip}
+    vdir = tmp_path / "handobj" / "vid_x"
+    vdir.mkdir(parents=True)
+    with open(vdir / "0.handobj.pkl", "wb") as f:
+        pkl.dump(info, f)
+
+    sample = {"video_uid": "vid_x", "clip_start": 12.3}
+
+    ref = RefDS.__new__(RefDS)
+    ref.handobj_dir = str(tmp_path / "handobj")
+    ref.chunk_sec = 600
+    want_boxes, want_size = RefDS.load_hand_object_box(ref, sample)
+
+    mine = EgoClipDataset.__new__(EgoClipDataset)
+    mine.handobj_dir = str(tmp_path / "handobj")
+    got_boxes, got_size = mine._load_boxes(sample)
+
+    assert got_size == tuple(want_size)
+    np.testing.assert_allclose(got_boxes, want_boxes.numpy(), rtol=1e-6)
