@@ -166,6 +166,10 @@ def main(quantize: bool):
         "value": round(clips_per_sec, 3),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC, 3),
+        # the denominator is an ESTIMATE (30 clips/s fp16 A100) — the
+        # reference publishes no throughput number; see BASELINE.md
+        # "Baseline assumption and roofline adjudication".
+        "baseline_assumed": True,
     }
     if quantize:
         line["quant"] = "int8-w8a8-dynamic"

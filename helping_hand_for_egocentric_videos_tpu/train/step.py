@@ -174,12 +174,24 @@ def pretrain_loss_and_metrics(
     return total, metrics
 
 
-def make_train_step(dec_cfg: DecoderConfig, lavila_cfg, cfg: TrainConfig, optimizer):
+def make_train_step(
+    dec_cfg: DecoderConfig,
+    lavila_cfg,
+    cfg: TrainConfig,
+    optimizer,
+    *,
+    debug_grads: bool = False,
+):
     """Build the jittable train step.
 
     step(state, backbone_params, batch, noun_dict_embeds, rng) ->
     (state, metrics). ``batch`` keys: video, tokens, noun_vec, verb_vec,
     boxes, nouns (see pretrain_loss_and_metrics).
+
+    ``debug_grads=True`` adds the raw gradient pytree to ``metrics`` —
+    used by the sharded-vs-unsharded equivalence checks (the JAX analogue
+    of asserting the reference's all-gather-gradient semantics,
+    run/train.py:31-47, match a single-process run).
     """
 
     def step(state: TrainState, backbone_params, batch, noun_dict_embeds, rng):
@@ -218,6 +230,8 @@ def make_train_step(dec_cfg: DecoderConfig, lavila_cfg, cfg: TrainConfig, optimi
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if debug_grads:
+            metrics["grads"] = grads
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return step
