@@ -61,20 +61,44 @@ class TrainState(NamedTuple):
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """AdamW with no weight decay on biases (reference optim_policy:
     no_decay = ['.ln_', '.bn', '.bias', ...] — in the decoder only bias
-    names match, so decay applies to every weight/LN-scale/embedding)."""
+    names match, so decay applies to every weight/LN-scale/embedding).
+
+    ``class_embed`` and ``vid_proj`` are frozen outright: the reference
+    loss never touches them (embeds use txt_proj/obj_proj only,
+    run/train.py:124-192; loss_cardinality is @torch.no_grad,
+    model/box_utils.py:142-153), so their ``.grad`` stays None and torch
+    AdamW skips them entirely — no update AND no weight decay. optax
+    would otherwise decay them through their zero gradients, silently
+    shrinking weights the reference leaves untouched (verified by the
+    multi-step dynamics oracle, tests/test_reference_parity.py)."""
 
     def decay_mask(params):
         def rule(path, leaf):
-            last = path[-1]
-            key = getattr(last, "key", None)
-            return key != "b"
+            keys = [getattr(p, "key", None) for p in path]
+            if keys[-1] != "b":
+                return True
+            # quirk: torch names the fused attention in-projection bias
+            # ``in_proj_bias`` — no ``.bias`` substring — so the reference
+            # optim_policy puts the q/k/v biases in the DECAY group while
+            # every other bias (incl. ``out_proj.bias``) is exempt
+            # (utils/train_utils.py:30; pinned by
+            # tests/test_reference_parity.py::test_adamw_update_rule_parity)
+            return any(k in ("wq", "wk", "wv") for k in keys)
 
         return jax.tree_util.tree_map_with_path(rule, params)
 
     opt = optax.adamw(cfg.lr, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.wd, mask=decay_mask)
     if cfg.clip_grad > 0:
         opt = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), opt)
-    return opt
+
+    def labels(params):
+        def rule(path, leaf):
+            top = getattr(path[0], "key", None)
+            return "freeze" if top in ("class_embed", "vid_proj") else "train"
+
+        return jax.tree_util.tree_map_with_path(rule, params)
+
+    return optax.multi_transform({"train": opt, "freeze": optax.set_to_zero()}, labels)
 
 
 def backbone_features(backbone_params, lavila_cfg, video, tokens, *, dtype=jnp.bfloat16):

@@ -1065,6 +1065,250 @@ def test_pretrain_loss_end_to_end_parity(rng):
     np.testing.assert_allclose(float(total_j), total_t, rtol=1e-4)
 
 
+def test_training_dynamics_parity(rng):
+    """Multi-step OPTIMIZER-TRAJECTORY oracle vs the reference recipe
+    (VERDICT r2 item 1): identical init (via the converters) and identical
+    data, 6 full steps of [composite loss -> backward -> AdamW] on both
+    sides — torch AdamW over the optim_policy param groups
+    (utils/train_utils.py:28-48, run/train.py:519-520; GradScaler dropped,
+    f32 both sides) vs make_optimizer + pretrain_loss_and_metrics. Asserts
+    the per-step loss trajectory and the final decoder params match.
+
+    The backbone is frozen (its features are constants of the trajectory),
+    so both sides consume the same precomputed feature arrays — this
+    isolates exactly the link no other oracle covers: gradients through
+    the matched losses and the optimizer update rule (eps/betas/decoupled
+    wd order/no-decay policy/grad-None skip semantics).
+    """
+    import optax
+
+    from model.box_utils import SetCriterion, build_matcher
+    from model.box_utils import compute_box_loss as ref_compute_box_loss
+    from model.loss import EgoNCE, WordContrastiveLoss
+    from model.metric import sim_matrix as ref_sim
+    from utils.train_utils import optim_policy
+
+    from helping_hand_for_egocentric_videos_tpu.train import make_optimizer
+    from helping_hand_for_egocentric_videos_tpu.train.step import (
+        TrainConfig,
+        pretrain_loss_and_metrics,
+    )
+
+    b, r, nq_arg, n_steps = 3, 5, 4, 6
+    # lr big enough that a beta/eps divergence shows in 6 steps; wd HUGE so
+    # a wrong decay policy (decayed bias / decayed grad-None param / wrong
+    # decoupling order) moves params ~0.3%/step — far above the f32-noise
+    # random walk that adam's normalized update produces on near-zero-grad
+    # elements (measured <= ~1e-4 over 6 steps at this lr)
+    lr, wd = 1e-3, 0.5
+    dec = _make_ref_decoder(nq_arg + 1, seed=21)
+    dec.eval()  # dropout off; gradients still flow
+    # deep-copy: sd_np leaves are views of the torch storage, and opt_t
+    # below updates the torch params IN PLACE — without the copy this
+    # tree would silently track the reference trajectory
+    params = jax.tree.map(
+        np.array, convert_decoder_checkpoint(sd_np(dec), num_layers=2)
+    )
+
+    grid = rng.normal(size=(b, T, 4, WIDTH)).astype(np.float32)
+    text_fmap = (rng.normal(size=(b * r, 12, 768)) * 0.1).astype(np.float32)
+    tokens = rand_tokens(rng, b * r)
+    tokens[3, 1] = 63
+    tokens[3, 2:] = 0  # one padded rephrase row
+    noun_vec = (rng.random((b, 582)) < 0.05).astype(np.float32)
+    verb_vec = (rng.random((b, 118)) < 0.1).astype(np.float32)
+    boxes = (rng.random((b, T, 4, 4)) * 150).astype(np.float32) + np.array(
+        [0, 0, 60, 60], np.float32
+    )
+    nouns = rng.integers(0, 20, size=(b, 4)).astype(np.int64)
+    noun_dict = (rng.normal(size=(20, 768)) * 0.1).astype(np.float32)
+
+    # ---- reference trajectory: optim_policy groups + torch AdamW defaults
+    backbone_stub = torch.nn.Linear(2, 2)  # optim_policy only freezes it
+    opt_t = torch.optim.AdamW(optim_policy(backbone_stub, dec, lr, wd), lr=lr, weight_decay=wd)
+    criterion = SetCriterion(
+        22047,
+        matcher=build_matcher(None),
+        weight_dict={
+            "loss_bbox_hand_boxes": 5,
+            "loss_bbox_obj_boxes": 5,
+            "loss_giou_hand_boxes": 2,
+            "loss_giou_obj_boxes": 2,
+        },
+        eos_coef=0.1,
+        losses=["boxes", "cardinality"],
+    )
+    image_size = torch.full((b * T, 2), 224.0)
+    tk = torch.from_numpy(tokens)
+    sim_v = ref_sim(torch.from_numpy(verb_vec), torch.from_numpy(verb_vec))
+    sim_n = ref_sim(torch.from_numpy(noun_vec), torch.from_numpy(noun_vec))
+    pad = ((tk != 0).sum(-1) != 2).float()[:, None].repeat(1, b)
+
+    def ref_total_loss():
+        model_out, hs, _, _ = dec(torch.from_numpy(grid))
+        text_embeds = dec.txt_proj(
+            torch.from_numpy(text_fmap)[torch.arange(b * r), tk.argmax(-1)]
+        )
+        video_embeds = dec.obj_proj(hs[-1])[:, -1]
+        sim = ref_sim(text_embeds, video_embeds)
+        nce_t, _ = EgoNCE()(sim, sim_v, sim_n, multi_pad_mask=pad, strict_mask=True)
+        box_t = 0.0
+        for name, fam in (("hand_boxes", boxes[:, :, :2]), ("obj_boxes", boxes[:, :, 2:])):
+            tb = torch.from_numpy(fam.reshape(b * T, -1, 4).copy())
+            classes = torch.stack([1 - (bx.sum(-1) != 0).float() for bx in tb])
+            fam_loss, _ = ref_compute_box_loss(
+                name, criterion, model_out, tb, classes, image_size, n_queries=nq_arg
+            )
+            box_t = box_t + fam_loss
+        noun_embeds = dec.txt_proj(torch.from_numpy(noun_dict))
+        pred_noun = dec.obj_proj(hs[-1])[:, :-1]
+        word_t = WordContrastiveLoss()(noun_embeds, pred_noun, torch.from_numpy(nouns))
+        return nce_t + box_t + 0.5 * word_t
+
+    ref_losses = []
+    for _ in range(n_steps):
+        opt_t.zero_grad()
+        total = ref_total_loss()
+        total.backward()
+        opt_t.step()
+        ref_losses.append(float(total))
+
+    # ---- this framework's trajectory
+    cfg = TrainConfig(lr=lr, wd=wd, num_queries=nq_arg, rephrase_factor=r)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    args = (
+        jnp.asarray(grid),
+        jnp.asarray(text_fmap),
+        jnp.asarray(tokens.astype(np.int32)),
+        jnp.asarray(noun_vec),
+        jnp.asarray(verb_vec),
+        jnp.asarray(boxes),
+        jnp.asarray(nouns.astype(np.int32)),
+        jnp.asarray(noun_dict),
+    )
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            total, metrics = pretrain_loss_and_metrics(p, _my_dec_cfg(nq_arg + 1), cfg, *args)
+            return total, metrics
+
+        (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, total
+
+    my_losses = []
+    for _ in range(n_steps):
+        params, opt_state, total = step(params, opt_state)
+        my_losses.append(float(total))
+
+    np.testing.assert_allclose(my_losses, ref_losses, rtol=1e-4)
+    assert ref_losses[-1] < ref_losses[0]  # both actually trained
+
+    # final params match leaf-by-leaf — incl. class_embed/vid_proj staying
+    # EXACTLY at init (torch skips grad-None params: no update, no decay)
+    final_t = convert_decoder_checkpoint(sd_np(dec), num_layers=2)
+    flat_mine = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_ref = jax.tree.leaves(final_t)
+    assert len(flat_mine) == len(flat_ref)
+    for (path, mine), ref in zip(flat_mine, flat_ref):
+        keystr = jax.tree_util.keystr(path)
+        if "wk" in keystr and keystr.endswith("['b']"):
+            # attention key-projection biases have an EXACTLY-zero gradient
+            # (softmax shift invariance: a bias added to every key shifts
+            # all logits of a row equally), so both frameworks random-walk
+            # them by adam-normalized f32 noise — only the envelope is
+            # comparable: |step| <= lr per step on each side
+            atol = 2.0 * n_steps * lr
+        elif keystr.endswith("['b']"):
+            # bias grads are small batch-sums: adam normalization amplifies
+            # f32 noise on them harder than on weights (measured ~3e-4
+            # over 6 steps). The exact update rule incl. the bias no-decay
+            # mask is pinned by test_adamw_update_rule_parity instead.
+            atol = 1e-3
+        else:
+            # adam's normalized step amplifies f32 noise on near-zero-grad
+            # elements to ~1e-4 over 6 steps; systematic wd/beta/eps
+            # divergences accumulate to >= 1e-3 at wd=0.5
+            atol = 2e-4
+        np.testing.assert_allclose(
+            np.asarray(mine), np.asarray(ref), rtol=2e-4, atol=atol,
+            err_msg=keystr,
+        )
+
+
+def test_adamw_update_rule_parity(rng):
+    """The optimizer UPDATE RULE in isolation: identical synthetic
+    gradients fed to torch.optim.AdamW over the reference optim_policy
+    groups (utils/train_utils.py:28-48, run/train.py:519-520) and to
+    make_optimizer for 10 steps. No forward pass -> no f32 chaos, so this
+    pins eps/betas placement, decoupled-wd order, the bias no-decay mask,
+    bias correction across steps, and the grad-None skip semantics
+    (class_embed/vid_proj stay EXACTLY at init on both sides) to ~1e-6.
+    """
+    import optax
+
+    from utils.train_utils import optim_policy
+
+    from helping_hand_for_egocentric_videos_tpu.train import make_optimizer
+    from helping_hand_for_egocentric_videos_tpu.train.step import TrainConfig
+
+    n_steps, lr, wd = 10, 1e-2, 0.1
+    dec = _make_ref_decoder(5, seed=31)
+    params = jax.tree.map(
+        np.array, convert_decoder_checkpoint(sd_np(dec), num_layers=2)
+    )
+
+    opt_t = torch.optim.AdamW(
+        optim_policy(torch.nn.Linear(2, 2), dec, lr, wd), lr=lr, weight_decay=wd
+    )
+
+    # deterministic per-param gradients; class_embed/vid_proj get NO grad
+    # (their .grad stays None — the reference loss never touches them)
+    g = torch.Generator().manual_seed(99)
+    grads_named = {}
+    grads_sd = {}
+    for name, p in dec.state_dict().items():
+        t = torch.randn(p.shape, generator=g) * 0.05
+        if name.startswith(("class_embed", "vid_proj")):
+            grads_sd[name] = np.zeros(p.shape, np.float32)
+        else:
+            grads_named[name] = t
+            grads_sd[name] = t.numpy()
+
+    for _ in range(n_steps):
+        for name, p in dec.named_parameters():
+            if name in grads_named:
+                p.grad = grads_named[name].clone()
+        opt_t.step()
+
+    # the converter is a pure element rearrangement (transpose/split/stack),
+    # so it maps a gradient state-dict into this framework's layout exactly
+    grads_j = convert_decoder_checkpoint(grads_sd, num_layers=2)
+    optimizer = make_optimizer(TrainConfig(lr=lr, wd=wd))
+    opt_state = optimizer.init(params)
+    for _ in range(n_steps):
+        updates, opt_state = optimizer.update(grads_j, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    # grad-None params must sit EXACTLY at init (no update, no decay)
+    init = jax.tree.map(np.array, convert_decoder_checkpoint(sd_np(dec), num_layers=2))
+    for key in ("class_embed", "vid_proj"):
+        for a, b in zip(jax.tree.leaves(params[key]), jax.tree.leaves(init[key])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=key)
+
+    final_t = convert_decoder_checkpoint(sd_np(dec), num_layers=2)
+    flat_mine = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_ref = jax.tree.leaves(final_t)
+    assert len(flat_mine) == len(flat_ref)
+    for (path, mine), ref in zip(flat_mine, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(mine), np.asarray(ref), rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_tokenizer_parity():
     """ClipTokenizer vs the reference SimpleTokenizer (model/tokenizer.py:
     75-162) token-for-token on realistic narrations (ftfy stubbed as
