@@ -39,6 +39,8 @@ INT8 = os.environ.get("HH_BENCH_INT8", "1") == "1"
 # HH_BENCH_TRAIN=0 skips the train-step line (eval headline is printed last
 # either way — the driver parses the final JSON line)
 TRAIN = os.environ.get("HH_BENCH_TRAIN", "1") == "1"
+# HH_BENCH_E2E=0 skips the end-to-end input-pipeline line
+E2E = os.environ.get("HH_BENCH_E2E", "1") == "1"
 
 
 def bench_train_step():
@@ -105,6 +107,134 @@ def bench_train_step():
                 "value": round(clips_per_sec, 3),
                 "unit": "clips/s",
                 "vs_baseline": None,  # reference publishes no train throughput
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_e2e():
+    """End-to-end input pipeline: chunked-``.npy`` clip store (the
+    recommended TPU path, docs/DATA.md) -> read_clip_chunked 16-frame
+    sampling -> PrefetchLoader threads -> uint8 device infeed -> fused
+    on-device preprocess -> flagship eval forward.
+
+    Prints the end-to-end clips/s plus its decomposition: the host stage
+    alone, the measured device-infeed bandwidth, and the same forward on
+    pre-staged device tensors. On this dev box the axon tunnel's ~13 MB/s
+    infeed dominates; a real TPU host feeds chips over PCIe (GB/s), where
+    e2e ~= min(host_stage, staged_model) (BENCH_NOTES.md round 3).
+    """
+    import tempfile
+
+    from helping_hand_for_egocentric_videos_tpu.data.loader import (
+        PrefetchLoader,
+        ShardedSampler,
+    )
+    from helping_hand_for_egocentric_videos_tpu.data.video import read_clip_chunked
+    from helping_hand_for_egocentric_videos_tpu.models import (
+        DecoderConfig,
+        decoder_forward,
+        init_decoder_params,
+        init_lavila_params,
+        timesformer_large_config,
+    )
+    from helping_hand_for_egocentric_videos_tpu.models import obj_decoder as dec_mod
+    from helping_hand_for_egocentric_videos_tpu.models.lavila import encode_image
+    from helping_hand_for_egocentric_videos_tpu.ops.preprocess import resize_normalize
+
+    b, n_chunks, chunk_frames, hw = 8, 6, 96, (256, 342)
+    n_batches = 4  # measured; +1 warmup/compile batch
+    cfg = timesformer_large_config(num_frames=FRAMES)
+    dec_cfg = DecoderConfig(num_frames=FRAMES, pred_traj=False)
+    key = jax.random.PRNGKey(0)
+    backbone = init_lavila_params(key, cfg)
+    decoder = init_decoder_params(key, dec_cfg)
+    n = cfg.visual.patches_per_frame
+
+    @jax.jit
+    def eval_forward_u8(backbone, decoder, video_u8):
+        video = resize_normalize(video_u8, 224)
+        _, fmap = encode_image(backbone, cfg, video, use_remat=False, dtype=jnp.bfloat16)
+        grid = fmap[:, 1:, :].reshape(video.shape[0], FRAMES, n, -1)
+        out = decoder_forward(decoder, dec_cfg, grid)
+        return dec_mod.obj_proj(decoder, out.hs[-1])[:, -1]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 256, size=(chunk_frames, *hw, 3)).astype(np.uint8)
+        paths = []
+        for c in range(n_chunks):
+            p = os.path.join(tmp, f"{c}.mp4.npy")
+            np.save(p, frames)
+            paths.append(os.path.join(tmp, f"{c}.mp4"))
+
+        class NpyClips:
+            def __len__(self):
+                return b * (n_batches + 1)
+
+            def __getitem__(self, i):
+                start = (i * 0.37) % 2.0
+                clip, _ = read_clip_chunked(
+                    paths[i % n_chunks], start, start + 1.0, clip_length=FRAMES
+                )
+                return {"video": clip}
+
+        dataset = NpyClips()
+
+        def make_loader():
+            sampler = ShardedSampler(
+                len(dataset), b, shuffle=False, drop_last=True
+            )
+            return PrefetchLoader(dataset, sampler, num_threads=4, depth=2)
+
+        # -- host stage alone
+        t0 = time.perf_counter()
+        n_clips = sum(batch["video"].shape[0] for batch in make_loader())
+        host_rate = n_clips / (time.perf_counter() - t0)
+
+        # -- infeed bandwidth (uint8 batch -> device, synced)
+        probe = np.ascontiguousarray(frames[:FRAMES][None].repeat(b, 0))
+        jax.device_put(probe)  # warm the transfer path
+        t0 = time.perf_counter()
+        for _ in range(3):
+            np.asarray(jnp.max(jax.device_put(probe)))
+        infeed_mbps = probe.nbytes * 3 / (time.perf_counter() - t0) / 1e6
+
+        # -- staged model rate (same jit program, data already on device)
+        staged = jax.device_put(probe)
+        np.asarray(eval_forward_u8(backbone, decoder, staged))  # compile
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = eval_forward_u8(backbone, decoder, staged)
+        np.asarray(out)
+        staged_rate = b * 3 / (time.perf_counter() - t0)
+
+        # -- end to end; batch 0 warms the pipeline, timing starts after it
+        total, t0 = 0, None
+        for i, batch in enumerate(make_loader()):
+            out = eval_forward_u8(backbone, decoder, jnp.asarray(batch["video"]))
+            if i == 0:
+                np.asarray(out)
+                t0 = time.perf_counter()
+            else:
+                total += batch["video"].shape[0]
+        np.asarray(out)
+        e2e_rate = total / (time.perf_counter() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "clips_per_sec_e2e_16f_eval_bf16",
+                "value": round(e2e_rate, 3),
+                "unit": "clips/s",
+                "host_stage_clips_per_sec": round(host_rate, 1),
+                "device_infeed_MBps": round(infeed_mbps, 1),
+                "staged_model_clips_per_sec": round(staged_rate, 3),
+                "note": (
+                    "dev-box axon tunnel bounds device infeed; on a PCIe-fed "
+                    "TPU host e2e ~= min(host_stage, staged_model)"
+                ),
             }
         ),
         flush=True,
@@ -182,6 +312,8 @@ if __name__ == "__main__":
     setup_compilation_cache()
     if TRAIN:
         bench_train_step()
+    if E2E:
+        bench_e2e()
     main(quantize=False)
     if INT8:
         main(quantize=True)

@@ -95,6 +95,7 @@ def build_eval_model(args):
         tokenizer=ClipTokenizer(),
         preprocess=getattr(args, "preprocess", "resize"),
         int8=getattr(args, "int8", False),
+        int8_fallback=getattr(args, "int8_fallback", None),
     )
     return model, lavila_cfg, dec_cfg
 
@@ -114,6 +115,17 @@ def add_eval_args(p):
         help="int8-quantize the frozen visual tower (models/quant.py; "
         "~25%% faster eval — compare the .npz similarity dumps against an "
         "f32 run before trusting new weights)",
+    )
+    p.add_argument(
+        "--int8_fallback",
+        type=float,
+        default=None,
+        metavar="THRESHOLD",
+        help="with --int8: per-layer mixed-precision fallback — layers "
+        "whose activation-outlier score (LN-gamma spread) exceeds the "
+        "threshold keep bf16 matmuls (models/quant.py; int8 is validated "
+        "to ~8x outliers, so 8.0 is a sensible value for outlier-heavy "
+        "weights)",
     )
     return p
 

@@ -40,8 +40,10 @@ def linear_init(key, d_in: int, d_out: int, *, bias: bool = True, std: float | N
 
 def linear(p, x):
     if "w_q" in p:  # int8-quantized weights (models/quant.py)
-        from .quant import int8_linear
+        from .quant import int8_linear, mixed_linear
 
+        if "q_on" in p:  # per-layer mixed-precision fallback
+            return mixed_linear(p, x)
         return int8_linear(p, x)
     y = x @ p["w"]
     if "b" in p:

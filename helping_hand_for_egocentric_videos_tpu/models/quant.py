@@ -15,6 +15,22 @@ headline and the eval CLIs' ``--int8`` flag use this path; rank-order
 retrieval stability is test-gated (tests/test_quant.py), and released
 weights should additionally be validated by diffing the harnesses' .npz
 similarity dumps against an f32 run (TODO.md).
+
+Mixed-precision fallback (``act_outlier_threshold``): per-token dynamic
+activation quantization breaks when a few channels carry outlier
+magnitudes (the abs-max scale crushes the other channels' resolution) —
+the known failure mode of real CLIP-family weights that random init
+cannot reproduce. In transformers those outlier channels are produced by
+LayerNorm scale amplification, so each BLOCK gets an activation-outlier
+score = the max gamma spread (max|g| / median|g|) over its three norms;
+blocks above the threshold keep unquantized matmuls for all six of their
+matmul families, via a per-layer ``q_on`` flag resolved with
+``lax.cond`` inside the block scan. Validity domain measured in
+tests/test_quant.py (test_int8_outlier_threshold_and_fallback): plain
+int8 holds to ~8x gamma outliers at 2% channel frequency and is broken
+at 32x; block-level fallback fully restores rank stability there
+(per-matmul fallback of only the LN-fed layers does not — the outliers
+ride the residual stream into proj/mlp_fc2).
 """
 
 from __future__ import annotations
@@ -22,7 +38,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_linear_params", "quantize_lavila_params", "int8_linear"]
+__all__ = [
+    "quantize_linear_params",
+    "quantize_lavila_params",
+    "int8_linear",
+    "mixed_linear",
+]
 
 # matmul weights worth quantizing in the visual tower (the hot path);
 # embeddings/LN stay f32, the text tower is negligible at eval batch sizes
@@ -67,28 +88,78 @@ def int8_linear(p: dict, x: jax.Array) -> jax.Array:
     return y.astype(orig_dtype)
 
 
-def quantize_lavila_params(params: dict) -> dict:
-    """Quantize the visual tower's block matmuls in a LaviLa params tree."""
+def mixed_linear(p: dict, x: jax.Array) -> jax.Array:
+    """Per-layer int8-or-not dispatch: ``p['q_on']`` (a scalar after the
+    block scan slices the stacked (L,) flag) selects the int8 matmul or
+    the retained full-precision weight."""
+
+    def q_branch(x):
+        return int8_linear(p, x)
+
+    def f_branch(x):
+        y = x @ p["w"].astype(x.dtype)
+        if "b" in p:
+            y = y + p["b"].astype(x.dtype)
+        return y
+
+    return jax.lax.cond(p["q_on"], q_branch, f_branch, x)
+
+
+def _gamma_spread(g) -> jnp.ndarray:
+    """Per-layer LN-gamma outlier score: max|g| / median|g| over channels."""
+    a = jnp.abs(jnp.asarray(g, jnp.float32))  # (L, W)
+    return jnp.max(a, axis=-1) / jnp.maximum(jnp.median(a, axis=-1), 1e-8)
+
+
+def quantize_lavila_params(params: dict, act_outlier_threshold: float | None = None) -> dict:
+    """Quantize the visual tower's block matmuls in a LaviLa params tree.
+
+    ``act_outlier_threshold``: enable the per-layer mixed-precision
+    fallback (module docstring). Layers whose activation-outlier score
+    exceeds the threshold keep their full-precision matmul.
+    """
     import copy
 
     out = copy.copy(params)
     visual = copy.copy(params["visual"])
     blocks = dict(visual["blocks"])
 
+    score = None
+    if act_outlier_threshold is not None:
+        # block-level score: the max gamma spread over the block's three
+        # norms (norm1 feeds space-attn qkv, norm3 time-attn qkv, norm2
+        # the MLP — model/LaviLa.py:345-390). Outlier channels the norms
+        # amplify propagate through the whole block's residual stream, so
+        # per-matmul fallback of just the LN-fed layers leaves residual
+        # error in proj/mlp_fc2 (measured: argmax agreement 0.67 vs 1.00
+        # for block-level fallback at 32x outliers, BENCH_NOTES.md r3);
+        # the whole block falls back together.
+        score = jnp.maximum(
+            jnp.maximum(
+                _gamma_spread(blocks["norm1"]["g"]),
+                _gamma_spread(blocks["norm2"]["g"]),
+            ),
+            _gamma_spread(blocks["norm3"]["g"]),
+        )
+
     for key in ("attn", "timeattn"):
         blk = dict(blocks[key])
         for sub in ("qkv", "proj"):
-            blk[sub] = _quantize_stacked(blk[sub])
+            blk[sub] = _quantize_stacked(blk[sub], score, act_outlier_threshold)
         blocks[key] = blk
     for sub in ("mlp_fc1", "mlp_fc2"):
-        blocks[sub] = _quantize_stacked(blocks[sub])
+        blocks[sub] = _quantize_stacked(blocks[sub], score, act_outlier_threshold)
     visual["blocks"] = blocks
     out["visual"] = visual
     return out
 
 
-def _quantize_stacked(p: dict) -> dict:
-    """Quantize a stacked (L, in, out) linear param dict layer-wise."""
+def _quantize_stacked(p: dict, score=None, threshold: float | None = None) -> dict:
+    """Quantize a stacked (L, in, out) linear param dict layer-wise.
+
+    With a ``threshold``, layers whose outlier ``score`` (or, for matmuls
+    not fed by a LayerNorm, their weight-scale spread) exceeds it keep the
+    original weight and a ``q_on=False`` flag for ``mixed_linear``."""
     w = jnp.asarray(p["w"], jnp.float32)  # (L, in, out)
     s_w = jnp.max(jnp.abs(w), axis=1, keepdims=True) / 127.0  # (L, 1, out)
     s_w = jnp.maximum(s_w, 1e-8)
@@ -96,4 +167,12 @@ def _quantize_stacked(p: dict) -> dict:
     out = {"w_q": w_q, "s_w": s_w[:, 0, :]}
     if "b" in p:
         out["b"] = p["b"]
+    if threshold is not None:
+        if score is None:
+            s = s_w[:, 0, :]
+            score = jnp.max(s, axis=-1) / jnp.maximum(jnp.median(s, axis=-1), 1e-12)
+        q_on = jnp.asarray(score) <= threshold
+        if not bool(jnp.all(q_on)):
+            out["q_on"] = q_on
+            out["w"] = p["w"]  # retained for the fallback branch
     return out

@@ -63,12 +63,17 @@ class EvalModel:
     preprocess: str = "resize"
     dtype: object = jnp.bfloat16
     int8: bool = False  # quantize the visual tower (models/quant.py)
+    # per-layer mixed-precision fallback threshold (models/quant.py
+    # ``act_outlier_threshold``); None = quantize every layer
+    int8_fallback: float | None = None
 
     def __post_init__(self):
         if self.int8:
             from ..models.quant import quantize_lavila_params
 
-            self.backbone_params = quantize_lavila_params(self.backbone_params)
+            self.backbone_params = quantize_lavila_params(
+                self.backbone_params, act_outlier_threshold=self.int8_fallback
+            )
         lcfg, dcfg = self.lavila_cfg, self.dec_cfg
 
         @jax.jit
@@ -128,6 +133,39 @@ def _cos(a, b):
     return np.asarray(sim_matrix(jnp.asarray(a), jnp.asarray(b)))
 
 
+def _prefetch_items(dataset, n: int, depth: int = 16):
+    """Yield dataset[0..n) in order, decoded ahead by a background thread.
+
+    The reference harness loops a bs=1 DataLoader whose workers prefetch
+    (run/test_EgoMCQ.py:56); a plain ``dataset[i]`` loop would instead
+    serialize host decode against device compute. Depth ~2 batches keeps
+    the device fed while bounding memory.
+    """
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def produce():
+        try:
+            for i in range(n):
+                q.put(dataset[i])
+        except BaseException as e:
+            q.put(e)
+        finally:
+            q.put(stop)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _reject_multicrop(model):
     """crops3/6 preprocess returns crop-major (k*B, E) embeddings; only
     run_egtea's row max-pool is shape-agnostic to that."""
@@ -177,8 +215,8 @@ def run_egomcq(
             types.append(it["type"])
         buf.clear()
 
-    for i in range(n):
-        buf.append(dataset[i])
+    for i, item in enumerate(_prefetch_items(dataset, n, depth=4 * items_per_batch)):
+        buf.append(item)
         if len(buf) == items_per_batch:
             flush()
         if progress and i % 50 == 0:
@@ -223,8 +261,7 @@ def run_epic_mir(
         buf_v.clear()
         buf_t.clear()
 
-    for i in range(n):
-        item = dataset[i]
+    for i, item in enumerate(_prefetch_items(dataset, n, depth=4 * batch_size)):
         buf_v.append(item["video"])
         buf_t.append(item["text"])
         if len(buf_v) == batch_size:
@@ -266,8 +303,7 @@ def run_egtea(model: EvalModel, dataset, labels: list[str], progress=None):
     preds, gts = [], []
     label_to_idx = {l: i for i, l in enumerate(labels)}
     n = len(dataset)
-    for i in range(n):
-        item = dataset[i]
+    for i, item in enumerate(_prefetch_items(dataset, n, depth=4)):
         frames = item["video"]  # (num_clips*clip_length, H, W, C)
         t = model.dec_cfg.num_frames
         clips = frames.reshape(-1, t, *frames.shape[1:])
