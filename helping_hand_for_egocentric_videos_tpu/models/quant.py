@@ -111,6 +111,24 @@ def _gamma_spread(g) -> jnp.ndarray:
     return jnp.max(a, axis=-1) / jnp.maximum(jnp.median(a, axis=-1), 1e-8)
 
 
+def int8_linear_prequant(p: dict, x_q: jax.Array, s_x: jax.Array, out_dtype=jnp.bfloat16) -> jax.Array:
+    """int8 matmul on an ALREADY-quantized activation (x_q int8 with
+    per-token scales s_x (..., 1) f32) — the consumer of the attention
+    kernel's quant_out path (ops/divided_attention.py), which quantizes
+    its output in-VMEM so no reduce_max/convert pass over the activation
+    ever runs in XLA."""
+    acc = jax.lax.dot_general(
+        x_q,
+        p["w_q"],
+        (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * s_x * p["s_w"].astype(jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 def quantize_lavila_params(params: dict, act_outlier_threshold: float | None = None) -> dict:
     """Quantize the visual tower's block matmuls in a LaviLa params tree.
 

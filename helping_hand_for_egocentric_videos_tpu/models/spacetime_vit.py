@@ -149,14 +149,30 @@ def _var_attention_pallas(p, x_cls, x_p, t: int, n: int, heads: int, mode: str, 
     cls_q = qkv_c[:, :d]
     cls_k = qkv_c[:, d : 2 * d]
     cls_v = qkv_c[:, 2 * d :]
+    # pure-int8 proj (no mixed-precision q_on flag): have the kernel emit
+    # its output pre-quantized with per-token scales, so the proj matmul
+    # consumes it directly (kills the XLA-side reduce_max + convert and
+    # halves the kernel's HBM output write; models/quant.py)
+    quant_out = "w_q" in p["proj"] and "q_on" not in p["proj"]
     out_patch, (m, s, co) = divided_patch_attention(
-        qkv_p, cls_k, cls_v, cls_q, mode=mode, heads=heads, interpret=interpret
+        qkv_p, cls_k, cls_v, cls_q, mode=mode, heads=heads, interpret=interpret,
+        quant_out=quant_out,
     )
-    out_patch = out_patch.reshape(b, t * n, d)
     cls_out = merge_cls_partials(m, s, co, cls_q, cls_k, cls_v, heads)
     cls_out = cls_out.astype(x_p.dtype)[:, None, :]
 
-    return linear(p["proj"], cls_out), linear(p["proj"], out_patch)
+    if quant_out:
+        from ..models.quant import int8_linear_prequant
+
+        out_q, s_x = out_patch
+        patch_proj = int8_linear_prequant(
+            p["proj"], out_q.reshape(b, t * n, d), s_x.reshape(b, t * n, 1),
+            out_dtype=x_p.dtype,
+        )
+    else:
+        patch_proj = linear(p["proj"], out_patch.reshape(b, t * n, d))
+
+    return linear(p["proj"], cls_out), patch_proj
 
 
 def _kernel_friendly(n: int, d: int, heads: int, t: int) -> bool:

@@ -57,13 +57,22 @@ _PREC = jax.lax.Precision.DEFAULT
 
 
 def _rows_kernel(
-    qkv_ref, cls_ref, o_ref, m_ref, s_ref, co_ref, *, heads, dh, scale, nb, t
+    qkv_ref, cls_ref, o_ref, m_ref, s_ref, co_ref, *rest,
+    heads, dh, scale, nb, t, quant_out=False,
 ):
     """One tile of divided attention on flat rows (+ CLS query row).
 
     nb=None -> spatial (tile (1, N, 3D)); nb=int -> temporal (tile
     (T, Nb, 3D), flattened t-major with a periodic same-patch mask).
+
+    quant_out: additionally per-token symmetric-int8 quantize the patch
+    output in-VMEM (o_ref int8 + per-row scales in sq_ref), so a
+    quantized projection matmul consumes it directly — the XLA-side
+    reduce_max + convert passes over the attention output disappear and
+    the HBM output write halves (int8 eval mode; see models/quant.py).
     """
+    if quant_out:
+        sq_ref, scratch_ref = rest
     d = heads * dh
     tile = qkv_ref[0]
     r = tile.shape[0] * tile.shape[1] if nb is not None else tile.shape[1]
@@ -112,7 +121,9 @@ def _rows_kernel(
             preferred_element_type=jnp.float32, precision=_PREC,
         )  # (RA, dh)
         out = (raw[:r] + e_c[:r] * cv.astype(jnp.float32)) / den[:r]
-        if nb is None:
+        if quant_out:
+            scratch_ref[:, sl] = out  # f32; quantized once after the loop
+        elif nb is None:
             o_ref[0, 0, :, sl] = out.astype(o_ref.dtype)
         else:
             o_ref[0, :, :, sl] = out.reshape(t, nb, dh).astype(o_ref.dtype)
@@ -121,6 +132,20 @@ def _rows_kernel(
         m_ref[0, 0, h : h + 1, :] = m[r:]
         s_ref[0, 0, h : h + 1, :] = den[r:]
         co_ref[0, 0, h : h + 1, :] = raw[r:]
+
+    if quant_out:
+        acc = scratch_ref[:, :]  # (R, D) f32
+        # same per-token scale rule as quant.int8_linear
+        s_x = jnp.maximum(
+            jnp.max(jnp.abs(acc), axis=-1, keepdims=True) / 127.0, 1e-8
+        )  # (R, 1)
+        q = jnp.clip(jnp.round(acc * (1.0 / s_x)), -127, 127).astype(jnp.int8)
+        if nb is None:
+            o_ref[0, 0] = q
+            sq_ref[0, 0] = s_x
+        else:
+            o_ref[0] = q.reshape(t, nb, d)
+            sq_ref[0] = s_x.reshape(t, nb, 1)
 
 
 def merge_cls_partials(m, s, co, cls_q, cls_k, cls_v, heads: int):
@@ -169,7 +194,7 @@ def _temporal_block(t: int, n: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "heads", "interpret")
+    jax.jit, static_argnames=("mode", "heads", "interpret", "quant_out")
 )
 def divided_patch_attention(
     qkv,
@@ -180,6 +205,7 @@ def divided_patch_attention(
     mode: str,
     heads: int,
     interpret: bool = False,
+    quant_out: bool = False,
 ):
     """Patch-token divided attention on packed qkv (+ CLS partials).
 
@@ -190,9 +216,12 @@ def divided_patch_attention(
         cls_q: optional (B, D) CLS query (un-scaled); when given, the
             kernels also emit streaming-softmax partials of the CLS query
             over the patch keys, merged with ``merge_cls_partials``.
+        quant_out: emit the patch output pre-quantized for an int8
+            projection matmul: returns (out int8, s_x (B, T, N, 1) f32)
+            instead of a bf16 out (see ``quant.int8_linear_prequant``).
     Returns:
-        (B, T, N, D) patch output, and — when cls_q is given —
-        (m, s, co) partial tensors shaped (B, G, H, 1/1/dh).
+        (B, T, N, D) patch output (int8 + scales when quant_out), and —
+        when cls_q is given — (m, s, co) partials (B, G, H, 1/1/dh).
     """
     b, t, n, d3 = qkv.shape
     d = d3 // 3
@@ -203,41 +232,60 @@ def divided_patch_attention(
         cls_q = jnp.zeros_like(cls_k)
 
     if mode == "space":
+        r = n
         kernel = functools.partial(
-            _rows_kernel, heads=heads, dh=dh, scale=scale, nb=None, t=t
+            _rows_kernel, heads=heads, dh=dh, scale=scale, nb=None, t=t,
+            quant_out=quant_out,
         )
         grid = (b, t)
         g = t
         qkv_spec = pl.BlockSpec((1, 1, n, d3), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((1, 1, n, d), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+        sq_spec = pl.BlockSpec((1, 1, n, 1), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
     else:
         nb = _temporal_block(t, n)
+        r = t * nb
         kernel = functools.partial(
-            _rows_kernel, heads=heads, dh=dh, scale=scale, nb=nb, t=t
+            _rows_kernel, heads=heads, dh=dh, scale=scale, nb=nb, t=t,
+            quant_out=quant_out,
         )
         grid = (b, n // nb)
         g = n // nb
         qkv_spec = pl.BlockSpec((1, t, nb, d3), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((1, t, nb, d), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM)
+        sq_spec = pl.BlockSpec((1, t, nb, 1), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM)
 
     part_spec = lambda w: pl.BlockSpec(  # noqa: E731
         (1, 1, heads, w), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
     )
     cls_spec = pl.BlockSpec((1, 1, d3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     cls_row = jnp.concatenate([cls_q, cls_k, cls_v], axis=-1)[:, None, :]
-    out, m, s, co = pl.pallas_call(
+    out_specs = [out_spec, part_spec(1), part_spec(1), part_spec(dh)]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, t, n, d), jnp.int8 if quant_out else qkv.dtype),
+        jax.ShapeDtypeStruct((b, g, heads, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, g, heads, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, g, heads, dh), jnp.float32),
+    ]
+    scratch_shapes = []
+    if quant_out:
+        out_specs.append(sq_spec)
+        out_shape.append(jax.ShapeDtypeStruct((b, t, n, 1), jnp.float32))
+        scratch_shapes = [pltpu.VMEM((r, d), jnp.float32)]
+    res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[qkv_spec, cls_spec],
-        out_specs=[out_spec, part_spec(1), part_spec(1), part_spec(dh)],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, t, n, d), qkv.dtype),
-            jax.ShapeDtypeStruct((b, g, heads, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, g, heads, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, g, heads, dh), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(qkv, cls_row)
+    if quant_out:
+        out, m, s, co, sq = res
+        out = (out, sq)
+    else:
+        out, m, s, co = res
     if want_partials:
         return out, (m, s, co)
     return out

@@ -280,6 +280,82 @@ def test_backbone_pallas_interpret_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(a_cls), np.asarray(b_cls), atol=atol)
 
 
+def test_rows_kernel_quant_out_interpret(rng):
+    """quant_out path (int8 eval): the kernel's in-VMEM per-token output
+    quantization must match quantizing the normal kernel output in XLA —
+    same scale rule as quant.int8_linear — and the int8-proj model path
+    (_var_attention_split with a quantized proj) must agree with
+    quantize-after-attention to one quantization step."""
+    from helping_hand_for_egocentric_videos_tpu.ops.divided_attention import (
+        divided_patch_attention,
+    )
+
+    b, t, n, d, heads = 2, 2, 16, 128, 2
+    qkv = jnp.asarray(rng.normal(size=(b, t, n, 3 * d)).astype(np.float32) * 0.3)
+    ck = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.3)
+    cv = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.3)
+    cq = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.3)
+
+    for mode in ("space", "time"):
+        ref = divided_patch_attention(
+            qkv, ck, cv, cq, mode=mode, heads=heads, interpret=True
+        )[0]
+        (out_q, s_x), _ = divided_patch_attention(
+            qkv, ck, cv, cq, mode=mode, heads=heads, interpret=True, quant_out=True
+        )
+        assert out_q.dtype == jnp.int8 and s_x.shape == (b, t, n, 1)
+        # same scale rule as int8_linear (abs-max / 127, floored)
+        want_s = np.maximum(
+            np.max(np.abs(np.asarray(ref)), axis=-1, keepdims=True) / 127.0, 1e-8
+        )
+        np.testing.assert_allclose(np.asarray(s_x), want_s, rtol=1e-5, err_msg=mode)
+        deq = np.asarray(out_q, np.float32) * np.asarray(s_x)
+        np.testing.assert_allclose(
+            deq, np.asarray(ref), atol=1.01 * want_s.max(), err_msg=mode
+        )
+
+
+def test_var_attention_int8_proj_interpret(rng):
+    """The int8-proj wiring in _var_attention_split: kernel quant_out +
+    int8_linear_prequant vs the XLA attention followed by the standard
+    dynamic int8_linear — identical int8 weight path, so outputs agree to
+    quantization noise."""
+    from helping_hand_for_egocentric_videos_tpu.models.quant import (
+        _quantize_stacked,
+    )
+    from helping_hand_for_egocentric_videos_tpu.models.spacetime_vit import (
+        _init_attn,
+        _var_attention,
+        _var_attention_split,
+    )
+
+    t, n, width, heads = 2, 16, 128, 2
+    p = _init_attn(jax.random.PRNGKey(0), width, zero_init=False)
+    # quantize qkv+proj the same way quantize_lavila_params does, then
+    # slice the stacked (L=1) leaves back to per-layer shapes
+    pq = dict(p)
+    for subkey in ("qkv", "proj"):
+        stacked = {k: v[None] for k, v in p[subkey].items()}
+        qd = _quantize_stacked(stacked)
+        pq[subkey] = {k: v[0] for k, v in qd.items()}
+    x = jnp.asarray(rng.normal(size=(2, 1 + t * n, width)).astype(np.float32))
+
+    for mode in ("time", "space"):
+        want = _var_attention(pq, x, t, n, heads, mode)  # XLA + int8_linear
+        got_c, got_p = _var_attention_split(
+            pq, x[:, :1], x[:, 1:], t, n, heads, mode, "pallas_interpret"
+        )
+        scale = float(np.abs(np.asarray(want)).max())
+        np.testing.assert_allclose(
+            np.asarray(got_p), np.asarray(want[:, 1:]), atol=0.05 * scale,
+            err_msg=mode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_c), np.asarray(want[:, :1]), atol=0.05 * scale,
+            err_msg=mode,
+        )
+
+
 def test_temporal_block_sizes_bounded():
     """Long clips fall to the minimum 8-patch tile instead of degenerating
     to the whole patch axis (VMEM blowup at R = t*n)."""

@@ -37,6 +37,39 @@ def test_divided_attention_tpu_parity():
 
 
 @tpu_only
+def test_divided_attention_quant_out_tpu_parity():
+    """Compiled quant_out (in-VMEM int8 output + per-token scales) vs
+    interpret mode: same int8 codes up to MXU-precision rounding at the
+    quantization boundary, scales allclose."""
+    from helping_hand_for_egocentric_videos_tpu.ops.divided_attention import (
+        divided_patch_attention,
+    )
+
+    b, t, n, heads, dh = 2, 4, 256, 16, 64
+    d = heads * dh
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.normal(size=(b, t, n, 3 * d)).astype(np.float32) * 0.1).astype(jnp.bfloat16)
+    ck = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32)).astype(jnp.bfloat16)
+    cv = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32)).astype(jnp.bfloat16)
+    cq = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32)).astype(jnp.bfloat16)
+
+    for mode in ("space", "time"):
+        (got_q, got_s), _ = divided_patch_attention(
+            qkv, ck, cv, cq, mode=mode, heads=heads, quant_out=True
+        )
+        (want_q, want_s), _ = divided_patch_attention(
+            qkv, ck, cv, cq, mode=mode, heads=heads, quant_out=True, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(want_s), rtol=5e-2, err_msg=mode
+        )
+        # dequantized outputs agree to bf16-MXU noise + one quant step
+        got = np.asarray(got_q, np.float32) * np.asarray(got_s)
+        want = np.asarray(want_q, np.float32) * np.asarray(want_s)
+        np.testing.assert_allclose(got, want, atol=2e-2, err_msg=mode)
+
+
+@tpu_only
 def test_backbone_backends_agree_tpu():
     from dataclasses import replace
 
