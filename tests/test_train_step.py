@@ -123,6 +123,35 @@ def test_dropout_changes_loss():
     assert float(m1["total_loss"]) != float(m2["total_loss"])
 
 
+def test_int8_backbone_train_loss_parity():
+    """--int8_backbone quantizes the FROZEN backbone's training forward;
+    gradients never reach it, so the loss may only shift by feature
+    quantization noise — and training must still converge."""
+    from helping_hand_for_egocentric_videos_tpu.models.quant import (
+        quantize_lavila_params,
+    )
+
+    lavila_cfg, dec_cfg, tcfg, backbone, decoder, batch, noun_dict = tiny_setup()
+    qbackbone = quantize_lavila_params(backbone)
+    optimizer = make_optimizer(tcfg)
+    step = jax.jit(make_train_step(dec_cfg, lavila_cfg, tcfg, optimizer))
+
+    losses, qlosses = [], []
+    state = TrainState(decoder, optimizer.init(decoder), jnp.zeros((), jnp.int32))
+    qstate = TrainState(decoder, optimizer.init(decoder), jnp.zeros((), jnp.int32))
+    for _ in range(4):
+        state, m = step(state, backbone, batch, noun_dict, None)
+        qstate, qm = step(qstate, qbackbone, batch, noun_dict, None)
+        losses.append(float(m["total_loss"]))
+        qlosses.append(float(qm["total_loss"]))
+    assert np.isfinite(qlosses).all()
+    assert qlosses[-1] < qlosses[0], qlosses
+    # identical params -> the loss shift is pure feature-quantization
+    # noise (<1%); later steps diverge by trajectory chaos on this tiny
+    # high-lr model, so only step 1 compares meaningfully
+    assert abs(losses[0] - qlosses[0]) / abs(losses[0]) < 0.01, (losses, qlosses)
+
+
 @require_devices(8)
 def test_dryrun_multichip_8dev():
     import __graft_entry__ as g
