@@ -151,7 +151,7 @@ def bench_e2e():
     from helping_hand_for_egocentric_videos_tpu.ops.preprocess import resize_normalize
 
     b, n_chunks, chunk_frames, hw = 8, 6, 96, (256, 342)
-    n_batches = 4  # measured; +1 warmup/compile batch
+    n_batches = 6  # all timed (the staged section below pre-compiles)
     cfg = timesformer_large_config(num_frames=FRAMES)
     dec_cfg = DecoderConfig(num_frames=FRAMES, pred_traj=False)
     key = jax.random.PRNGKey(0)
@@ -178,7 +178,7 @@ def bench_e2e():
 
         class NpyClips:
             def __len__(self):
-                return b * (n_batches + 1)
+                return b * n_batches
 
             def __getitem__(self, i):
                 start = (i * 0.37) % 2.0
@@ -217,15 +217,15 @@ def bench_e2e():
         np.asarray(out)
         staged_rate = b * 3 / (time.perf_counter() - t0)
 
-        # -- end to end; batch 0 warms the pipeline, timing starts after it
-        total, t0 = 0, None
-        for i, batch in enumerate(make_loader()):
+        # -- end to end: every batch timed, loader created inside the
+        # window so the prefetcher's ramp-up (decode-ahead) counts as
+        # pipeline overlap, not free pre-work (the jit program is already
+        # compiled by the staged section above — same shapes)
+        total = 0
+        t0 = time.perf_counter()
+        for batch in make_loader():
             out = eval_forward_u8(backbone, decoder, jnp.asarray(batch["video"]))
-            if i == 0:
-                np.asarray(out)
-                t0 = time.perf_counter()
-            else:
-                total += batch["video"].shape[0]
+            total += batch["video"].shape[0]
         np.asarray(out)
         e2e_rate = total / (time.perf_counter() - t0)
 
@@ -317,12 +317,39 @@ if __name__ == "__main__":
     from helping_hand_for_egocentric_videos_tpu.cli.common import setup_compilation_cache
 
     setup_compilation_cache()
+
+    # The driver parses the FINAL JSON line as the headline, so the
+    # optional stages (train / e2e) must never starve or crash the eval
+    # lines: each runs only while inside HH_BENCH_BUDGET seconds (the
+    # remote-compile tunnel can take minutes per cold program) and any
+    # failure prints an error line instead of raising.
+    _t0 = time.perf_counter()
+    _budget = float(os.environ.get("HH_BENCH_BUDGET", "900"))
+
+    def _optional(stage, fn, reserve: float):
+        elapsed = time.perf_counter() - _t0
+        if elapsed > _budget - reserve:
+            print(
+                json.dumps({"metric": f"{stage}_skipped", "reason": "time budget"}),
+                flush=True,
+            )
+            return
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — headline must still print
+            print(
+                json.dumps({"metric": f"{stage}_error", "error": str(e)[:300]}),
+                flush=True,
+            )
+
     if TRAIN:
-        bench_train_step()
+        _optional("train", bench_train_step, reserve=120.0)
         if INT8:
-            bench_train_step(int8_backbone=True)
+            _optional(
+                "train_int8", lambda: bench_train_step(int8_backbone=True), reserve=90.0
+            )
     if E2E:
-        bench_e2e()
+        _optional("e2e", bench_e2e, reserve=90.0)
     main(quantize=False)
     if INT8:
         main(quantize=True)

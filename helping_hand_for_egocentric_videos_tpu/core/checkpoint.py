@@ -5,6 +5,13 @@ Equivalent of the reference's runtime checkpointing
 decoder params + optimizer state + step/best-acc are saved every N steps
 with the last ``keep`` kept; the frozen backbone is never checkpointed —
 it is re-loaded from the released LaviLa weights (run/train.py:433-441).
+
+Compatibility: ``make_optimizer`` moved to ``optax.multi_transform``
+(grad-None freeze of class_embed/vid_proj, matching the reference's
+torch-AdamW skip semantics), which changed the opt_state pytree
+structure — optimizer state saved by earlier builds will not restore
+against the new template (params restore fine; re-warm the optimizer by
+resuming with a fresh ``optimizer.init``).
 """
 
 from __future__ import annotations

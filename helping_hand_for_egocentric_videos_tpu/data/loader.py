@@ -116,14 +116,27 @@ class PrefetchLoader:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         stop = object()
+        cancelled = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put so an abandoned iterator (consumer raised /
+            # stopped early) can't leave the producer blocked forever
+            # holding `depth` collated batches
+            while not cancelled.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 _produce_batches()
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                _put(e)
             finally:
-                q.put(stop)
+                _put(stop)
 
         def _produce_batches():
             from concurrent.futures import ThreadPoolExecutor
@@ -134,6 +147,8 @@ class PrefetchLoader:
                 pool = None
             try:
                 for batch_idx in self.sampler:
+                    if cancelled.is_set():
+                        return
                     if pool is not None:
                         items = list(
                             pool.map(lambda di: self.dataset[int(di)], batch_idx)
@@ -143,20 +158,24 @@ class PrefetchLoader:
                     batch = collate(items)
                     if self.transform is not None:
                         batch = self.transform(batch)
-                    q.put(batch)
+                    if not _put(batch):
+                        return
             finally:
                 if pool is not None:
                     pool.shutdown(wait=False)
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
-        while True:
-            batch = q.get()
-            if batch is stop:
-                break
-            if isinstance(batch, BaseException):
-                raise batch
-            yield batch
+        try:
+            while True:
+                batch = q.get()
+                if batch is stop:
+                    break
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            cancelled.set()
 
 
 def prepare_train_batch(batch: dict, tokenizer, rephrase_factor: int = 5) -> dict:

@@ -31,6 +31,12 @@ int8 holds to ~8x gamma outliers at 2% channel frequency and is broken
 at 32x; block-level fallback fully restores rank stability there
 (per-matmul fallback of only the LN-fed layers does not — the outliers
 ride the residual stream into proj/mlp_fc2).
+
+Note: enabling the fallback also disables the fused activation->int8
+kernels (ops/act_quant.py) and the attention quant_out path globally —
+the ``q_on`` flag lives in the stacked param structure shared by every
+scanned block, so the conservative XLA dynamic-quant path runs instead.
+Pure int8 mode (no threshold) keeps the fully fused path.
 """
 
 from __future__ import annotations

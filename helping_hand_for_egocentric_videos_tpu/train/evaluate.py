@@ -146,24 +146,41 @@ def _prefetch_items(dataset, n: int, depth: int = 16):
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = object()
+    cancelled = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that notices consumer abandonment, so a dropped
+        # generator (e.g. embed_video raised mid-harness) can't leave the
+        # producer blocked forever holding `depth` decoded clips
+        while not cancelled.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         try:
             for i in range(n):
-                q.put(dataset[i])
+                if not _put(dataset[i]):
+                    return
         except BaseException as e:
-            q.put(e)
+            _put(e)
         finally:
-            q.put(stop)
+            _put(stop)
 
     threading.Thread(target=produce, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        cancelled.set()
 
 
 def _reject_multicrop(model):

@@ -205,6 +205,45 @@ def test_loader_and_prepare_batch(egoclip_fixture):
     assert b["noun_vec"][:, [102, 504, 364, 321, 556]].sum() == 0
 
 
+def test_prefetch_producer_exits_on_abandoned_iterator():
+    """A consumer that stops mid-epoch (error in the step/harness) must
+    not leave the producer thread blocked on a full queue holding decoded
+    batches — it notices the cancellation and exits."""
+    import threading
+    import time as _time
+
+    class SlowCount:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"x": np.full((4,), i, np.int32)}
+
+    n_before = threading.active_count()
+    sampler = ShardedSampler(64, batch_size=4, shuffle=False)
+    loader = PrefetchLoader(SlowCount(), sampler, num_threads=1, depth=2)
+    it = iter(loader)
+    next(it)  # producer running, queue filling
+    it.close()  # abandon (what a raised exception in the consumer does)
+    deadline = _time.time() + 5.0
+    while threading.active_count() > n_before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= n_before, "producer thread leaked"
+
+    # same contract for the eval-harness item prefetcher
+    from helping_hand_for_egocentric_videos_tpu.train.evaluate import (
+        _prefetch_items,
+    )
+
+    gen = _prefetch_items(SlowCount(), 64, depth=2)
+    next(gen)
+    gen.close()
+    deadline = _time.time() + 5.0
+    while threading.active_count() > n_before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= n_before, "item prefetcher leaked"
+
+
 def test_mixed_shape_and_failed_decodes_stack(tmp_path):
     """Clips decoding at different native sizes — plus one failed decode
     (black-frame fallback) — must all land on decode_res and stack into one
