@@ -64,7 +64,10 @@ def bench_train_step(int8_backbone: bool = False):
         make_train_step,
     )
 
-    t, n_videos, r = 4, 8, 5
+    # 16 videos/chip = the reference's per-GPU batch (bs 128 over 8 GPUs,
+    # run/train.py:592 + configs n_gpu); also measured faster than 8
+    # (119.5 vs 108 bf16, 148.4 vs 134 int8 clips/s — BENCH_NOTES r3)
+    t, n_videos, r = 4, 16, 5
     cfg = timesformer_large_config(num_frames=t)
     dec_cfg = DecoderConfig(num_frames=t)
     tcfg = TrainConfig()
