@@ -20,7 +20,7 @@ import numpy as np
 
 def extract_one(path: str, out_path: str, fps: float, height: int, width: int) -> bool:
     from ..data import native
-    from ..data.video import _video_num_frames, read_frames_at
+    from ..data.video import _video_num_frames, read_frames_at, resize_frames
 
     try:
         if native.has_ffmpeg():
@@ -33,6 +33,9 @@ def extract_one(path: str, out_path: str, fps: float, height: int, width: int) -
             if n is None:
                 return False
             frames = read_frames_at(path, list(range(n)), fps)
+            # the native branch scales in the decoder; scale the gated
+            # backends' native-resolution output to match
+            frames = resize_frames(frames, (height, width))
     except Exception as e:
         print(f"  FAILED {path}: {e}")
         return False

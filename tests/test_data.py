@@ -1,7 +1,8 @@
 """Data-pipeline tests on synthetic fixtures.
 
 Builds a miniature EgoClip/Epic/EGTEA data+meta layout (with .npy clip
-tensors standing in for mp4 chunks, since this image has no video codecs)
+tensors standing in for mp4 chunks — tests/test_real_mp4.py proves the
+stand-ins equivalent to real encoded video on the cv2/ffmpeg backend)
 and exercises datasets, samplers, the native JPEG path, the sharded
 loader, and batch preparation.
 """
