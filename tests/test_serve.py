@@ -1,0 +1,186 @@
+"""Serving layer: bucketed micro-batching engine + HTTP front end.
+
+Engine invariants under test: results identical to direct EvalModel
+calls (padding is masked out), concurrent requests coalesce into fewer
+device calls, oversized requests chunk at the largest bucket, and the
+zero-dependency HTTP server round-trips all four routes.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from test_harness import RES, tiny_eval_model  # noqa: F401
+
+from helping_hand_for_egocentric_videos_tpu.serve import ServeConfig, ServingEngine
+
+T = 4
+CLIP = (T, RES, RES, 3)
+
+
+def _clips(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.random((n, *CLIP)) * 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = tiny_eval_model(t=T)
+    eng = ServingEngine(
+        model, video_shape=CLIP, cfg=ServeConfig(buckets=(1, 2, 4), max_wait_ms=2.0)
+    )
+    yield eng
+    eng.close()
+
+
+def test_engine_matches_direct_calls_with_padding(engine):
+    texts = ["wash hands", "cut onion", "open fridge"]  # 3 -> bucket 4
+    video = _clips(3)
+    emb_t = engine.submit_text(texts)
+    emb_v, boxes = engine.submit_video(video)
+    want_t = engine.model.embed_text(texts)
+    want_v, want_b = engine.model.embed_video(video)
+    np.testing.assert_allclose(emb_t, want_t, atol=1e-5)
+    np.testing.assert_allclose(emb_v, want_v, atol=1e-5)
+    np.testing.assert_allclose(boxes, want_b, atol=1e-5)
+    assert engine.stats["video"].snapshot()["padded_items"] >= 1
+
+
+def test_engine_rejects_wrong_clip_shape(engine):
+    with pytest.raises(ValueError, match="deployment shape"):
+        engine.submit_video(np.zeros((1, T, RES + 14, RES, 3), np.uint8))
+
+
+def test_engine_coalesces_concurrent_requests(engine):
+    n = 6
+    video = _clips(n, seed=1)
+    want, _ = engine.model.embed_video(video)
+    calls_before = engine.stats["video"].snapshot()["device_calls"]
+    results = [None] * n
+    barrier = threading.Barrier(n)
+
+    def worker(i):
+        barrier.wait()
+        emb, _ = engine.submit_video(video[i : i + 1])
+        results[i] = emb[0]
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t_ in threads:
+        t_.start()
+    for t_ in threads:
+        t_.join()
+    for i in range(n):
+        np.testing.assert_allclose(results[i], want[i], atol=1e-5)
+    calls = engine.stats["video"].snapshot()["device_calls"] - calls_before
+    # 6 one-clip requests over buckets (1,2,4): coalescing must beat
+    # per-request dispatch
+    assert calls < n, calls
+
+
+def test_engine_chunks_oversized_request(engine):
+    n = 9  # > largest bucket (4): 4 + 4 + 1
+    video = _clips(n, seed=2)
+    calls_before = engine.stats["video"].snapshot()["device_calls"]
+    emb, _ = engine.submit_video(video)
+    want, _ = engine.model.embed_video(video)
+    np.testing.assert_allclose(emb, want, atol=1e-5)
+    assert engine.stats["video"].snapshot()["device_calls"] - calls_before == 3
+
+
+def _post(url, body, content_type="application/json"):
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": content_type}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_server_end_to_end(monkeypatch):
+    """cli.serve: warmup, all four routes, shape/route error paths."""
+    from helping_hand_for_egocentric_videos_tpu.cli import serve as serve_cli
+    from helping_hand_for_egocentric_videos_tpu.train import evaluate as eval_mod
+
+    model = tiny_eval_model(t=T)
+    monkeypatch.setattr(
+        serve_cli.common, "build_eval_model", lambda args: (model, None, None)
+    )
+    stop = threading.Event()
+    holder = {}
+    ready_evt = threading.Event()
+
+    def ready(srv, engine):
+        holder["port"] = srv.server_address[1]
+        holder["engine"] = engine
+        ready_evt.set()
+
+    th = threading.Thread(
+        target=serve_cli.main,
+        args=(
+            [
+                "--port", "0",
+                "--num_frames", str(T),
+                "--clip_hw", str(RES), str(RES),
+                "--buckets", "1", "2", "4",
+                "--warmup_buckets", "1",
+            ],
+        ),
+        kwargs={"ready": ready, "stop": stop},
+        daemon=True,
+    )
+    th.start()
+    assert ready_evt.wait(timeout=300), "server did not come up"
+    base = f"http://127.0.0.1:{holder['port']}"
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+        assert health["video_shape"] == list(CLIP)
+        assert health["stats"]["video"]["requests"] >= 1  # warmup counted
+
+        texts = ["pour water", "close drawer"]
+        code, out = _post(
+            base + "/embed_text", json.dumps({"texts": texts}).encode()
+        )
+        assert code == 200
+        np.testing.assert_allclose(
+            np.asarray(out["embeddings"]), model.embed_text(texts), atol=1e-5
+        )
+
+        video = _clips(2, seed=3)
+        buf = io.BytesIO()
+        np.save(buf, video)
+        code, out = _post(
+            base + "/embed_video?boxes=1", buf.getvalue(), "application/x-npy"
+        )
+        assert code == 200
+        want_v, want_b = model.embed_video(video)
+        np.testing.assert_allclose(np.asarray(out["embeddings"]), want_v, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["boxes"]), want_b, atol=1e-5)
+
+        buf = io.BytesIO()
+        np.savez(buf, video=video, texts=np.asarray(texts))
+        code, out = _post(base + "/similarity", buf.getvalue(), "application/x-npz")
+        assert code == 200
+        want_sim = eval_mod._cos(model.embed_text(texts), want_v)
+        np.testing.assert_allclose(np.asarray(out["sim"]), want_sim, atol=1e-5)
+
+        code, out = _post(base + "/nope", b"{}")
+        assert code == 404
+        code, out = _post(base + "/embed_text", b"not json")
+        assert code == 400 and "error" in out
+        # wrong clip shape -> engine ValueError -> 400
+        buf = io.BytesIO()
+        np.save(buf, np.zeros((1, T, RES, RES + 14, 3), np.uint8))
+        code, out = _post(base + "/embed_video", buf.getvalue(), "application/x-npy")
+        assert code == 400 and "deployment shape" in out["error"]
+    finally:
+        stop.set()
+        th.join(timeout=30)
+    assert not th.is_alive()
