@@ -61,9 +61,14 @@ def main(argv=None):
             total += 1
             src = os.path.join(root, f)
             dst = src + ".npy"
-            if os.path.exists(dst) and not args.overwrite:
-                done += 1
-                continue
+            if os.path.exists(dst):
+                if not args.overwrite:
+                    done += 1
+                    continue
+                # remove the stale store BEFORE decoding: the fallback
+                # readers' _maybe_npy fast path would otherwise re-read
+                # it instead of re-decoding the mp4
+                os.remove(dst)
             if extract_one(src, dst, args.fps, args.height, args.width):
                 done += 1
                 print(f"  {dst}")

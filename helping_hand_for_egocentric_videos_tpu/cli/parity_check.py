@@ -88,9 +88,13 @@ def _sim_agreement(f32_npz: str, int8_npz: str, key: str) -> dict:
     }
 
 
-def _run_harnesses(args, model, out_dir: str, tag: str, limit) -> dict:
-    """Run every harness whose meta/data dirs were given; returns
-    {harness: metrics}. Sim dumps land in ``out_dir`` tagged f32/int8."""
+def _run_harnesses(args, get_model, out_dir: str, tag: str, limit) -> dict:
+    """Run every harness whose meta/data dirs were given under ITS OWN
+    reference protocol — get_model(num_frames, preprocess) returns a
+    model built for that frame count (EgoMCQ evaluates at 4 frames,
+    Epic/EGTEA at 16; EGTEA uses short-side + center-crop, the retrieval
+    harnesses squash-resize — matching the test_* CLIs). Returns
+    {harness: metrics}; sim dumps land in ``out_dir`` tagged f32/int8."""
     results = {}
     if args.egomcq_meta:
         from ..data.egoclip import EgoClipConfig, EgoClipDataset
@@ -101,11 +105,11 @@ def _run_harnesses(args, model, out_dir: str, tag: str, limit) -> dict:
                 meta_dir=args.egomcq_meta,
                 data_dir=args.egomcq_data,
                 split="val",
-                num_frames=args.num_frames,
+                num_frames=args.egomcq_frames,
             )
         )
         results["egomcq"] = run_egomcq(
-            model,
+            get_model(args.egomcq_frames, "resize"),
             ds,
             limit=limit,
             progress=common.progress,
@@ -132,11 +136,11 @@ def _run_harnesses(args, model, out_dir: str, tag: str, limit) -> dict:
                 meta_dir=args.epic_meta,
                 data_dir=args.epic_data,
                 split="test",
-                num_frames=args.num_frames,
+                num_frames=args.epic_frames,
             )
         )
         results["epic"] = run_epic_mir(
-            model,
+            get_model(args.epic_frames, "resize"),
             ds,
             relevancy,
             indexes,
@@ -150,6 +154,7 @@ def _run_harnesses(args, model, out_dir: str, tag: str, limit) -> dict:
         labels, _ = generate_label_map(
             os.path.join(args.egtea_meta, "action_idx.txt")
         )
+        model = get_model(args.egtea_frames, "shortside")
         per_split = []
         for split in args.egtea_splits:
             ds = EgteaDataset(
@@ -158,7 +163,7 @@ def _run_harnesses(args, model, out_dir: str, tag: str, limit) -> dict:
                     metadata=os.path.join(args.egtea_meta, f"test_split{split}.txt"),
                     anno_dir=args.egtea_meta,
                     num_clips=args.egtea_num_clips,
-                    clip_length=args.num_frames,
+                    clip_length=args.egtea_frames,
                     clip_stride=2,
                 )
             )
@@ -178,8 +183,12 @@ def main(argv=None):
     p.add_argument("--backbone", default="timesformer_large")
     p.add_argument("--backbone_ckpt", default="")
     p.add_argument("--decoder_ckpt", default="")
-    p.add_argument("--num_frames", type=int, default=16)
     p.add_argument("--num_queries", type=int, default=12)
+    # per-harness frame counts default to the reference protocols
+    # (EgoMCQ evaluates at 4 frames — cli.test_egomcq; Epic/EGTEA at 16)
+    p.add_argument("--egomcq_frames", type=int, default=4)
+    p.add_argument("--epic_frames", type=int, default=16)
+    p.add_argument("--egtea_frames", type=int, default=16)
     for name in ("egomcq", "epic", "egtea"):
         p.add_argument(f"--{name}_meta", default="", help=f"{name} metadata dir (omit to skip)")
         p.add_argument(f"--{name}_data", default="")
@@ -200,11 +209,17 @@ def main(argv=None):
         "(rank-stability release gate on real weights)",
     )
     p.add_argument("--int8_fallback", type=float, default=None)
+    p.add_argument(
+        "--int8_argmax_min", type=float, default=0.9,
+        help="int8 gate: min per-item argmax agreement vs f32",
+    )
+    p.add_argument(
+        "--int8_spearman_min", type=float, default=0.99,
+        help="int8 gate: min Spearman rank correlation vs f32",
+    )
     p.add_argument("--limit", type=int, default=0, help="EgoMCQ item cap (0 = all)")
     p.add_argument("--out_dir", default="parity_report")
     args = p.parse_args(argv)
-    args.meta_dir = ""  # build_eval_model reads model fields only
-    args.data_dir = ""
     if not (args.egomcq_meta or args.epic_meta or args.egtea_meta):
         p.error("give at least one of --egomcq_meta / --epic_meta / --egtea_meta")
     common.print_env()
@@ -217,27 +232,54 @@ def main(argv=None):
         "backbone_ckpt_sha256": _sha256(args.backbone_ckpt),
         "decoder_ckpt": args.decoder_ckpt,
         "decoder_ckpt_sha256": _sha256(args.decoder_ckpt),
-        "num_frames": args.num_frames,
+        "frames": {
+            "egomcq": args.egomcq_frames,
+            "epic": args.epic_frames,
+            "egtea": args.egtea_frames,
+        },
         "tol_points": args.tol,
     }
 
-    args.int8 = False
-    model, _, _ = common.build_eval_model(args)
-    report["metrics"] = _run_harnesses(args, model, args.out_dir, "f32", limit)
+    cache = {}
+
+    def model_factory(int8: bool):
+        def get_model(num_frames: int, preprocess: str):
+            key = (num_frames, int8)
+            if key not in cache:
+                args.num_frames = num_frames  # build_eval_model reads this
+                args.int8 = int8
+                cache[key] = common.build_eval_model(args)[0]
+            model = cache[key]
+            model.preprocess = preprocess  # per-harness eval transform
+            return model
+
+        return get_model
+
+    report["metrics"] = _run_harnesses(
+        args, model_factory(int8=False), args.out_dir, "f32", limit
+    )
 
     if args.int8_diff:
-        args.int8 = True
-        model_q, _, _ = common.build_eval_model(args)
         report["metrics_int8"] = _run_harnesses(
-            args, model_q, args.out_dir, "int8", limit
+            args, model_factory(int8=True), args.out_dir, "int8", limit
         )
         agreement = {}
         for name, key in (("egomcq", "sims"), ("epic", "pred")):
             f32 = os.path.join(args.out_dir, f"{name}_sims_f32.npz")
             q = os.path.join(args.out_dir, f"{name}_sims_int8.npz")
             if os.path.exists(f32) and os.path.exists(q):
-                agreement[name] = _sim_agreement(f32, q, key)
+                ag = _sim_agreement(f32, q, key)
+                # the tests/test_quant.py rank-stability release gate,
+                # applied to the real dumps
+                ag["pass"] = (
+                    ag["argmax_agreement"] >= args.int8_argmax_min
+                    and ag["spearman"] >= args.int8_spearman_min
+                )
+                agreement[name] = ag
         report["int8_agreement"] = agreement
+        report["int8_certified"] = bool(agreement) and all(
+            a["pass"] for a in agreement.values()
+        )
 
     if args.targets:
         with open(args.targets) as f:
@@ -257,7 +299,11 @@ def main(argv=None):
                 "pass": abs(float(got) - float(want)) <= args.tol,
             }
         report["gate"] = gate
-        report["certified"] = bool(gate) and all(g["pass"] for g in gate.values())
+        certified = bool(gate) and all(g["pass"] for g in gate.values())
+        if args.int8_diff:
+            # int8 sign-off requires the rank-stability gate too
+            certified = certified and report.get("int8_certified", False)
+        report["certified"] = certified
 
     report = _jsonable(report)
     out_path = os.path.join(args.out_dir, "PARITY_REPORT.json")

@@ -32,7 +32,11 @@ def main(argv=None, *, ready=None, stop=None):
                    metavar=("H", "W"), help="deployment clip resolution")
     p.add_argument("--buckets", type=int, nargs="*", default=[1, 2, 4, 8, 16])
     p.add_argument("--max_wait_ms", type=float, default=4.0)
-    p.add_argument("--warmup_buckets", type=int, nargs="*", default=[1, 8])
+    p.add_argument(
+        "--warmup_buckets", type=int, nargs="*", default=[],
+        help="buckets to pre-compile at startup (default: every bucket — "
+        "required for the no-cold-compile guarantee)",
+    )
     args = p.parse_args(argv)
     common.print_env()
 
@@ -47,10 +51,10 @@ def main(argv=None, *, ready=None, stop=None):
         cfg=ServeConfig(
             buckets=tuple(args.buckets),
             max_wait_ms=args.max_wait_ms,
-            warmup_buckets=tuple(args.warmup_buckets),
+            warmup_buckets=tuple(args.warmup_buckets) or None,
         ),
     )
-    print("warming buckets", args.warmup_buckets, flush=True)
+    print("warming buckets", args.warmup_buckets or args.buckets, flush=True)
     engine.warmup()
     srv = make_server(engine, args.host, args.port)
     print(f"serving on http://{args.host}:{srv.server_address[1]}", flush=True)

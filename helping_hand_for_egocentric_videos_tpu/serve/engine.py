@@ -36,8 +36,10 @@ class ServeConfig:
     # dispatcher deadline: how long to hold an under-filled batch open
     # for coalescing before running it anyway
     max_wait_ms: float = 4.0
-    # buckets to pre-compile at startup (both modalities)
-    warmup_buckets: tuple = (1, 8)
+    # buckets to pre-compile at startup (both modalities); None = every
+    # configured bucket — the no-cold-compile guarantee only holds when
+    # all buckets a request can land in are warmed
+    warmup_buckets: tuple | None = None
 
 
 class _Pending:
@@ -98,6 +100,8 @@ class ServingEngine:
     # ------------------------------------------------------------ public
     def submit_text(self, texts: list[str]) -> np.ndarray:
         """-> (len(texts), E) f32 embeddings. Blocks; thread-safe."""
+        if not len(texts):
+            raise ValueError("empty texts")
         tokens = np.asarray(self.model.tokenizer(list(texts)))
         return self._submit("text", tokens)
 
@@ -105,18 +109,25 @@ class ServingEngine:
         """video_u8 (B, T, H, W, C) uint8 at the deployment clip shape
         -> ((B, E) embeddings, (B, ...) predicted boxes). Blocks."""
         video_u8 = np.asarray(video_u8)
+        if not len(video_u8):
+            raise ValueError("empty video batch")
         if video_u8.shape[1:] != self.video_shape:
             raise ValueError(
                 f"clip shape {video_u8.shape[1:]} != deployment shape "
                 f"{self.video_shape} (fixed per serving config)"
             )
+        if video_u8.dtype != np.uint8:
+            # a float payload would silently double-normalize AND compile
+            # a fresh dtype-specialized program mid-traffic
+            raise ValueError(f"video dtype {video_u8.dtype} != uint8 (0..255)")
         return self._submit("video", video_u8)
 
     def warmup(self):
-        """Pre-compile the configured buckets so no request pays a cold
-        XLA compile. Call once at startup."""
+        """Pre-compile the warmup buckets (default: every configured
+        bucket) so no live request pays a cold XLA compile. Call once at
+        startup."""
         t, h, w, c = self.video_shape
-        for b in self.cfg.warmup_buckets:
+        for b in self.cfg.warmup_buckets or self.buckets:
             self.submit_text(["warmup"] * b)
             self.submit_video(np.zeros((b, t, h, w, c), np.uint8))
 
@@ -170,9 +181,14 @@ class ServingEngine:
                     self._cv.wait()
                 if self._closed and not any(self._queues.values()):
                     return
-            # a batch exists; hold it open briefly so concurrent callers
-            # coalesce, then drain up to the largest bucket
-            time.sleep(deadline_s)
+                pending = max(
+                    sum(len(r.items) for r in q) for q in self._queues.values()
+                )
+            # hold an under-filled batch open briefly so concurrent
+            # callers coalesce; with a full bucket (or backlog) already
+            # queued the deadline buys nothing — dispatch immediately
+            if pending < self.buckets[-1]:
+                time.sleep(deadline_s)
             for kind in ("text", "video"):
                 batch = []
                 n = 0
@@ -208,25 +224,14 @@ class ServingEngine:
                     )
                 keep = b - pad
                 if kind == "text":
-                    emb = self.model._embed_text(
-                        self.model.backbone_params,
-                        self.model.decoder_params,
-                        part,
-                    )
-                    outs.append((np.asarray(emb)[:keep],))
+                    outs.append((self.model.embed_tokens(part)[:keep],))
                 else:
-                    emb, boxes = self.model._embed_video(
-                        self.model.backbone_params,
-                        self.model.decoder_params,
-                        part,
-                        self.model.preprocess,
-                    )
-                    boxes = np.asarray(boxes)
-                    # pred_boxes rows are per FRAME (leading dim B*T, or
-                    # B*T*crops under TTA) — trim padding by the
+                    emb, boxes = self.model.embed_video(part)
+                    # pred_boxes rows can be per FRAME (leading dim B*T
+                    # under pred_traj) — trim padding by the
                     # rows-per-clip factor, not the clip count
                     f = boxes.shape[0] // b
-                    outs.append((np.asarray(emb)[:keep], boxes[: keep * f]))
+                    outs.append((emb[:keep], boxes[: keep * f]))
                 calls += 1
                 padded += pad
             st = self.stats[kind]

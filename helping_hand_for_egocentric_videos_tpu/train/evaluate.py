@@ -114,9 +114,15 @@ class EvalModel:
         self._embed_video = _embed_video
 
     def embed_text(self, texts: list[str]) -> np.ndarray:
-        tokens = jnp.asarray(self.tokenizer(texts))
+        return self.embed_tokens(np.asarray(self.tokenizer(texts)))
+
+    def embed_tokens(self, tokens: np.ndarray) -> np.ndarray:
+        """Batch entry on pre-tokenized (B, 77) input — the serving path
+        tokenizes per request and batches token arrays across requests."""
         return np.asarray(
-            self._embed_text(self.backbone_params, self.decoder_params, tokens)
+            self._embed_text(
+                self.backbone_params, self.decoder_params, jnp.asarray(tokens)
+            )
         )
 
     def embed_video(self, video_u8: np.ndarray):

@@ -294,7 +294,8 @@ def test_cli_parity_check_end_to_end(egoclip_fixture, tmp_path):  # noqa: F811
             "--epic_data", epic_data,
             "--backbone", "timesformer_tiny",
             "--num_queries", "4",
-            "--num_frames", "4",
+            "--egomcq_frames", "4",
+            "--epic_frames", "4",
             "--int8_diff",
             "--targets", str(targets),
             "--tol", "100",
@@ -311,6 +312,10 @@ def test_cli_parity_check_end_to_end(egoclip_fixture, tmp_path):  # noqa: F811
     for ag in rep["int8_agreement"].values():
         assert 0.0 <= ag["argmax_agreement"] <= 1.0
         assert -1.0 <= ag["spearman"] <= 1.0
+        assert isinstance(ag["pass"], bool)
+    assert rep["int8_certified"] == all(
+        a["pass"] for a in rep["int8_agreement"].values()
+    )
     # the target gate: pass, numeric fail, and missing-metric fail
     assert rep["gate"]["egomcq.Inter-video"]["pass"]
     assert not rep["gate"]["epic.mAP_AVG"]["pass"]

@@ -55,6 +55,17 @@ def test_engine_rejects_wrong_clip_shape(engine):
         engine.submit_video(np.zeros((1, T, RES + 14, RES, 3), np.uint8))
 
 
+def test_engine_rejects_bad_payloads(engine):
+    with pytest.raises(ValueError, match="empty"):
+        engine.submit_text([])
+    with pytest.raises(ValueError, match="empty"):
+        engine.submit_video(np.zeros((0, *CLIP), np.uint8))
+    # a float clip would silently double-normalize and jit a fresh
+    # dtype-specialized program mid-traffic
+    with pytest.raises(ValueError, match="uint8"):
+        engine.submit_video(np.zeros((1, *CLIP), np.float32))
+
+
 def test_engine_coalesces_concurrent_requests(engine):
     n = 6
     video = _clips(n, seed=1)
@@ -175,6 +186,8 @@ def test_http_server_end_to_end(monkeypatch):
         assert code == 404
         code, out = _post(base + "/embed_text", b"not json")
         assert code == 400 and "error" in out
+        code, out = _post(base + "/embed_text", b'{"texts": []}')
+        assert code == 400 and "empty" in out["error"]
         # wrong clip shape -> engine ValueError -> 400
         buf = io.BytesIO()
         np.save(buf, np.zeros((1, T, RES, RES + 14, 3), np.uint8))
