@@ -30,6 +30,18 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import numpy as np
 import pytest
 
+_HH_COV = os.environ.get("HH_COV")
+if _HH_COV:
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import _hhcov
+
+    _hhcov.start()
+
+    def pytest_sessionfinish(session, exitstatus):
+        _hhcov.stop_and_dump(_HH_COV)
+
 
 def require_devices(n):
     return pytest.mark.skipif(
