@@ -273,17 +273,19 @@ def test_cli_visualize_end_to_end(tmp_path):
 
 
 def test_cli_parity_check_end_to_end(egoclip_fixture, tmp_path):  # noqa: F811
-    """cli.parity_check: EgoMCQ + Epic harnesses, int8 diff, target gate,
-    PARITY_REPORT.json."""
+    """cli.parity_check: EgoMCQ + Epic + EGTEA harnesses, int8 diff,
+    target gate, PARITY_REPORT.json."""
     from helping_hand_for_egocentric_videos_tpu.cli import parity_check
 
     meta, data = egoclip_fixture
     epic_meta, epic_data = _epic_fixture(tmp_path)
+    egtea_meta, egtea_data = _egtea_fixture(tmp_path)
     targets = tmp_path / "targets.json"
     targets.write_text(json.dumps({
         "egomcq.Inter-video": 50.0,       # gated with a huge tol -> pass
         "epic.mAP_AVG": 999.0,            # impossible target -> fail
-        "egtea.mean_class_acc": 10.0,     # harness not run -> fail+note
+        "egtea.mean_class_acc": 10.0,     # gated with a huge tol -> pass
+        "egtea.missing_metric": 1.0,      # metric never produced -> fail+note
     }))
     out_dir = tmp_path / "rep"
     rep = parity_check.main(
@@ -292,10 +294,15 @@ def test_cli_parity_check_end_to_end(egoclip_fixture, tmp_path):  # noqa: F811
             "--egomcq_data", data,
             "--epic_meta", epic_meta,
             "--epic_data", epic_data,
+            "--egtea_meta", egtea_meta,
+            "--egtea_data", egtea_data,
+            "--egtea_splits", "1",
+            "--egtea_num_clips", "2",
             "--backbone", "timesformer_tiny",
             "--num_queries", "4",
             "--egomcq_frames", "4",
             "--epic_frames", "4",
+            "--egtea_frames", "4",
             "--int8_diff",
             "--targets", str(targets),
             "--tol", "100",
@@ -304,9 +311,11 @@ def test_cli_parity_check_end_to_end(egoclip_fixture, tmp_path):  # noqa: F811
     )
     on_disk = json.loads((out_dir / "PARITY_REPORT.json").read_text())
     assert on_disk == rep
-    assert set(rep["metrics"]) == {"egomcq", "epic"}
+    assert set(rep["metrics"]) == {"egomcq", "epic", "egtea"}
     assert 0 <= rep["metrics"]["egomcq"]["Inter-video"] <= 100
     assert "mAP_AVG" in rep["metrics"]["epic"]
+    assert 0 <= rep["metrics"]["egtea"]["mean_class_acc"] <= 100
+    assert len(rep["metrics"]["egtea"]["splits"]) == 1
     # int8 ran and the dumps were diffed with the rank-stability gate
     assert set(rep["int8_agreement"]) == {"egomcq", "epic"}
     for ag in rep["int8_agreement"].values():
@@ -319,7 +328,8 @@ def test_cli_parity_check_end_to_end(egoclip_fixture, tmp_path):  # noqa: F811
     # the target gate: pass, numeric fail, and missing-metric fail
     assert rep["gate"]["egomcq.Inter-video"]["pass"]
     assert not rep["gate"]["epic.mAP_AVG"]["pass"]
-    assert rep["gate"]["egtea.mean_class_acc"]["note"] == "metric not produced"
+    assert rep["gate"]["egtea.mean_class_acc"]["pass"]
+    assert rep["gate"]["egtea.missing_metric"]["note"] == "metric not produced"
     assert rep["certified"] is False
     # sim dumps exist for offline inspection
     assert (out_dir / "egomcq_sims_f32.npz").exists()

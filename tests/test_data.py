@@ -472,3 +472,350 @@ def test_read_clip_seconds_degenerate_window(tmp_path):
         # sampler (acc = min(num_frames, end)); datasets pad downstream
         assert 1 <= frames.shape[0] <= 4 and frames.shape[1:] == (8, 8, 3)
         assert ids == sorted(ids) and all(0 <= i < 30 for i in ids), (start, end)
+
+
+# --------------------------------------------- sampler random branches
+def test_sample_frames_rand_fix_start_and_unknown_mode():
+    """Randomised segment sampling stays inside each linspace segment
+    (base_dataset.py:178-193); fix_start offsets every segment start."""
+    rng = np.random.default_rng(3)
+    intervals = np.linspace(0, 100, 5).astype(int)
+    for _ in range(20):
+        got = sample_frames(4, 100, sample="rand", rng=rng)
+        assert len(got) == 4
+        for i, g in enumerate(got):
+            assert intervals[i] <= g <= max(intervals[i + 1] - 1, intervals[i])
+    assert sample_frames(4, 100, fix_start=2) == [int(intervals[i]) + 2 for i in range(4)]
+    with pytest.raises(NotImplementedError):
+        sample_frames(4, 100, sample="nope")
+
+
+def test_sample_frames_start_end_rand_fix_start_and_unknown_mode():
+    """[start, end] variant (base_dataset.py:221-245): rand draws in
+    [seg_lo, seg_hi) with a degenerate-segment guard."""
+    rng = np.random.default_rng(4)
+    intervals = np.linspace(10, 90, 5).astype(int)
+    for _ in range(20):
+        got = sample_frames_start_end(4, 10, 90, sample="rand", rng=rng)
+        assert len(got) == 4
+        for i, g in enumerate(got):
+            lo, hi = int(intervals[i]), int(intervals[i + 1]) - 1
+            assert lo <= g <= max(hi, lo)
+    fixed = sample_frames_start_end(4, 10, 90, fix_start=1)
+    assert fixed == [int(intervals[i]) + 1 for i in range(4)]
+    # degenerate segments (1-frame ranges) take the x0 branch, not rng
+    assert sample_frames_start_end(4, 0, 4, sample="rand", rng=rng) == [0, 1, 2, 3]
+    with pytest.raises(NotImplementedError):
+        sample_frames_start_end(4, 10, 90, sample="nope")
+
+
+def test_sample_frames_clips_clamps_and_jitter_bounds():
+    """sample_frames_clips clamps to [0, vlen] (base_dataset.py:195-205);
+    get_frame_ids jitter draws inside each rounded segment (207-219)."""
+    from helping_hand_for_egocentric_videos_tpu.data.samplers import sample_frames_clips
+
+    intervals = np.linspace(0, 200, 5).astype(int)
+    want = [(int(intervals[i]) + int(intervals[i + 1]) - 1) // 2 for i in range(4)]
+    assert sample_frames_clips(-5, 300, 200, 4) == want
+
+    rng = np.random.default_rng(5)
+    seg = float(120 - 0 - 1) / 4
+    for _ in range(10):
+        jit = get_frame_ids(0, 120, num_segments=4, jitter=True, rng=rng)
+        for i, x in enumerate(jit):
+            s = int(np.round(seg * i))
+            e = min(int(np.round(seg * (i + 1))), 120)
+            assert s <= x <= e
+
+
+# ----------------------------------------------------- Epic train mode
+def _mini_epic(tmp_path, split, relevancy_mat, with_video=True):
+    """Miniature EPIC-100 retrieval layout for one P01_01 video."""
+    import pandas as pd
+
+    meta = tmp_path / "epic_meta"
+    data = tmp_path / "epic_data"
+    (meta / "retrieval_annotations").mkdir(parents=True, exist_ok=True)
+    (meta / "relevancy").mkdir(exist_ok=True)
+    tag = "train" if split == "train" else "test"
+    n = relevancy_mat.shape[0]
+    rows = [
+        {
+            "narration_id": f"P01_01_{i}",
+            "participant_id": "P01",
+            "video_id": "P01_01",
+            "narration_timestamp": "00:00:00.00",
+            "start_timestamp": f"00:00:{i:02d}.00",
+            "stop_timestamp": f"00:00:{i + 1:02d}.50",
+            "start_frame": i * 30,
+            "stop_frame": (i + 1) * 30,
+            "narration": f"take plate {i}",
+        }
+        for i in range(n)
+    ]
+    pd.DataFrame(rows).to_csv(
+        meta / "retrieval_annotations" / f"EPIC_100_retrieval_{tag}.csv", index=False
+    )
+    pd.DataFrame(
+        {
+            "narration_id": [r["narration_id"] for r in rows],
+            "sentence": [f"sentence {i}" for i in range(n)],
+        }
+    ).to_csv(
+        meta / "retrieval_annotations" / f"EPIC_100_retrieval_{tag}_sentence.csv",
+        index=False,
+    )
+    with open(
+        meta / "relevancy" / f"caption_relevancy_EPIC_100_retrieval_{tag}.pkl", "wb"
+    ) as f:
+        pickle.dump(relevancy_mat.astype(np.float32), f)
+    vdir = data / "P01"
+    vdir.mkdir(parents=True, exist_ok=True)
+    if with_video:
+        np.save(vdir / "P01_01.MP4.npy", np.full((200, 8, 12, 3), 7, np.uint8))
+    video_fp = str(data / "P01" / "P01_01.MP4")
+    torch.save({video_fp: 30.0}, str(meta / "fps_dict_256.pth"))
+    return str(meta), str(data)
+
+
+def test_epic_train_caption_sampling(tmp_path):
+    """Train mode samples a caption among relevancy > 0.1 positives and
+    returns its relevancy + index; rows with no positives fall back to the
+    clip's own narration (EpicKitchens_MIR_dataset.py:91-100)."""
+    from helping_hand_for_egocentric_videos_tpu.data.epic import EpicConfig, EpicMIRDataset
+
+    rel = np.array([[0.0, 0.9, 0.8], [0.0, 0.05, 0.0], [0.0, 0.0, 0.95]])
+    meta, data = _mini_epic(tmp_path, "train", rel)
+    ds = EpicMIRDataset(EpicConfig(meta_dir=meta, data_dir=data, split="train", num_frames=4))
+
+    seen = set()
+    for _ in range(12):
+        it = ds[0]
+        assert it["text"] in {"sentence 1", "sentence 2"}
+        assert it["item_t"] in (1, 2)
+        assert it["relation"] == pytest.approx(rel[0][it["item_t"]], rel=1e-6)
+        seen.add(it["item_t"])
+    assert seen == {1, 2}  # both positives eventually drawn
+
+    # no relevancy > 0.1 -> own narration, relation 1.0, cap_idx 0
+    it = ds[1]
+    assert it["text"] == "take plate 1" and it["relation"] == 1.0 and it["item_t"] == 0
+    assert it["video"].shape == (4, 8, 12, 3)
+
+
+def test_epic_decode_failure_lax_and_strict(tmp_path):
+    """Missing video: lax loading emits black frames at decode_res
+    (base_dataset.py:124-140 semantics); strict re-raises."""
+    from helping_hand_for_egocentric_videos_tpu.data.epic import EpicConfig, EpicMIRDataset
+
+    rel = np.eye(2)
+    meta, data = _mini_epic(tmp_path, "test", rel, with_video=False)
+    ds = EpicMIRDataset(
+        EpicConfig(meta_dir=meta, data_dir=data, split="test", num_frames=4, decode_res=(8, 12))
+    )
+    it = ds[0]
+    assert it["video"].shape == (4, 8, 12, 3) and not it["video"].any()
+    assert it["item_t"] == -1  # val mode: no caption sampling
+
+    strict = EpicMIRDataset(
+        EpicConfig(
+            meta_dir=meta, data_dir=data, split="test", num_frames=4, loading="strict"
+        )
+    )
+    with pytest.raises(Exception):
+        strict[0]
+
+
+# --------------------------------------------------- EGTEA clip windows
+def _mini_egtea(tmp_path, n_frames):
+    meta = tmp_path / "egtea_meta"
+    data = tmp_path / "egtea_clips"
+    meta.mkdir(exist_ok=True)
+    (meta / "action_idx.txt").write_text("Open_Drawer 1\n")
+    clip = "OP01-R01-Pasta-100"
+    (meta / "test_split1.txt").write_text(f"{clip} 1\n")
+    vid = "-".join(clip.split("-")[:3])
+    d = data / vid
+    d.mkdir(parents=True, exist_ok=True)
+    frames = np.arange(n_frames, dtype=np.uint8)[:, None, None, None] + np.ones(
+        (n_frames, 8, 8, 3), np.uint8
+    )
+    np.save(d / f"{clip}.mp4.npy", frames)
+    torch.save(
+        {"len_dict": {str(data / vid / f"{clip}.mp4"): n_frames}},
+        str(meta / "egtea_video_list.pth.tar"),
+    )
+    return str(meta), str(data)
+
+
+def test_egtea_train_short_video_pads_and_strides(tmp_path):
+    """Training, end_frame < clip_length*stride: read all, zero-pad to the
+    span, then stride (Egtea.py:117-127 semantics)."""
+    from helping_hand_for_egocentric_videos_tpu.data.egtea import EgteaConfig, EgteaDataset
+
+    meta, data = _mini_egtea(tmp_path, n_frames=6)  # span = 4*2 = 8 > 6
+    ds = EgteaDataset(
+        EgteaConfig(
+            root=data, metadata=os.path.join(meta, "test_split1.txt"), anno_dir=meta,
+            is_training=True, num_clips=2, clip_length=4, clip_stride=2,
+        )
+    )
+    it = ds[0]
+    assert it["video"].shape == (4, 8, 8, 3)
+    assert not it["video"][3].any()  # padded tail frame is zeros
+    assert it["label_text"] == "open drawer"
+
+
+def test_egtea_train_long_video_random_window(tmp_path):
+    """Training, long video: one random window of span frames, strided."""
+    from helping_hand_for_egocentric_videos_tpu.data.egtea import EgteaConfig, EgteaDataset
+
+    meta, data = _mini_egtea(tmp_path, n_frames=40)
+    ds = EgteaDataset(
+        EgteaConfig(
+            root=data, metadata=os.path.join(meta, "test_split1.txt"), anno_dir=meta,
+            is_training=True, num_clips=2, clip_length=4, clip_stride=2,
+        )
+    )
+    starts = set()
+    for _ in range(8):
+        it = ds[0]
+        assert it["video"].shape == (4, 8, 8, 3)
+        # frame ids (recoverable from the content encoding) are start+2k
+        ids = [int(f[0, 0, 0]) - 1 for f in it["video"]]
+        assert ids == [ids[0] + 2 * k for k in range(4)]
+        assert 0 <= ids[0] <= 40 - 8
+        starts.add(ids[0])
+    assert len(starts) > 1  # the window actually randomises
+
+
+def test_egtea_eval_short_video_tiles_clips(tmp_path):
+    """Eval, short video: padded window tiled num_clips times
+    (Egtea.py:129-137 semantics)."""
+    from helping_hand_for_egocentric_videos_tpu.data.egtea import EgteaConfig, EgteaDataset
+
+    meta, data = _mini_egtea(tmp_path, n_frames=6)
+    ds = EgteaDataset(
+        EgteaConfig(
+            root=data, metadata=os.path.join(meta, "test_split1.txt"), anno_dir=meta,
+            is_training=False, num_clips=3, clip_length=4, clip_stride=2,
+        )
+    )
+    it = ds[0]
+    assert it["video"].shape == (12, 8, 8, 3)
+    np.testing.assert_array_equal(it["video"][:4], it["video"][4:8])
+    np.testing.assert_array_equal(it["video"][:4], it["video"][8:12])
+
+
+# --------------------------------------- decode-backend fallback paths
+def _write_jpegs(tmp_path, sizes):
+    import cv2
+
+    paths = []
+    for i, (h, w) in enumerate(sizes):
+        img = np.full((h, w, 3), 10 * (i + 1), np.uint8)
+        p = str(tmp_path / f"f{i}.jpg")
+        assert cv2.imwrite(p, img)
+        paths.append(p)
+    return paths
+
+
+def test_read_frames_at_no_backend_raises(tmp_path, monkeypatch):
+    """With every mp4 backend gated off, read_frames_at reports the
+    available-backend list instead of failing obscurely."""
+    from helping_hand_for_egocentric_videos_tpu.data import native, video
+
+    monkeypatch.setattr(video, "_cv2", None)
+    monkeypatch.setattr(video, "_av", None)
+
+    def no_ffmpeg():
+        raise native.NativeUnavailable("gated off")
+
+    monkeypatch.setattr(video.native, "has_ffmpeg", no_ffmpeg)
+    with pytest.raises(RuntimeError, match="no mp4 decode backend"):
+        video.read_frames_at(str(tmp_path / "missing.mp4"), [0, 1])
+
+
+def test_available_backends_without_native(monkeypatch):
+    from helping_hand_for_egocentric_videos_tpu.data import native, video
+
+    def no_lib():
+        raise native.NativeUnavailable("gated off")
+
+    monkeypatch.setattr(video.native, "get_lib", no_lib)
+    out = video.available_backends()
+    assert "pil" in out and "npy" in out and "native-jpeg" not in out
+
+
+def test_read_jpeg_paths_pil_fallback_mixed_sizes(tmp_path, monkeypatch):
+    """No native decoder: the PIL fallback must squash mixed-size frames
+    to frame 0's dims exactly like the native batch path."""
+    from helping_hand_for_egocentric_videos_tpu.data import video
+
+    paths = _write_jpegs(tmp_path, [(8, 12), (16, 10), (8, 12)])
+
+    def unavailable(*a, **k):
+        raise video.native.NativeUnavailable("gated off")
+
+    monkeypatch.setattr(video.native, "jpeg_dims", unavailable)
+    frames, ids = video.read_jpeg_paths(paths)
+    assert frames.shape == (3, 8, 12, 3) and frames.dtype == np.uint8
+    assert ids == [0, 1, 2]
+    # solid-colour frames survive the resize exactly
+    assert int(frames[1, 0, 0, 0]) == 20
+
+
+def test_read_jpeg_frames_native_and_pil(tmp_path, monkeypatch):
+    """Epic-style frame-dir reader: native path, explicit out_hw, and the
+    PIL fallback produce consistent shapes/content."""
+    from helping_hand_for_egocentric_videos_tpu.data import video
+
+    import cv2
+
+    for i in (1, 2):
+        img = np.full((8, 12, 3), 10 * i, np.uint8)
+        assert cv2.imwrite(str(tmp_path / f"frame_{i:010d}.jpg"), img)
+
+    try:
+        got = video.read_jpeg_frames(str(tmp_path), [1, 2])
+    except video.native.NativeUnavailable:
+        pytest.skip("native decoder unavailable on this host")
+    assert got.shape == (2, 8, 12, 3)
+    assert int(got[0, 0, 0, 0]) == 10 and int(got[1, 0, 0, 0]) == 20
+
+    scaled = video.read_jpeg_frames(str(tmp_path), [1], out_hw=(4, 6))
+    assert scaled.shape == (1, 4, 6, 3)
+
+    def unavailable(*a, **k):
+        raise video.native.NativeUnavailable("gated off")
+
+    monkeypatch.setattr(video.native, "jpeg_dims", unavailable)
+    monkeypatch.setattr(video.native, "decode_jpeg_batch", unavailable)
+    pil = video.read_jpeg_frames(str(tmp_path), [1, 2])
+    np.testing.assert_array_equal(pil, got)
+    pil_scaled = video.read_jpeg_frames(str(tmp_path), [1], out_hw=(4, 6))
+    assert pil_scaled.shape == (1, 4, 6, 3)
+
+
+def test_native_builds_from_scratch_and_single_decode(tmp_path, monkeypatch):
+    """get_lib compiles native/hh_dataio.cpp on first use when no cached
+    .so exists; decode_jpeg (single image) round-trips content."""
+    from helping_hand_for_egocentric_videos_tpu.data import native
+
+    (path,) = _write_jpegs(tmp_path, [(8, 12)])
+    monkeypatch.setattr(native, "_LIB_PATH", str(tmp_path / "lib" / "libhh_dataio.so"))
+    native.get_lib.cache_clear()
+    try:
+        h, w = native.jpeg_dims(path)
+    except native.NativeUnavailable:
+        native.get_lib.cache_clear()
+        pytest.skip("toolchain/libjpeg unavailable on this host")
+    assert (h, w) == (8, 12)
+    assert os.path.exists(str(tmp_path / "lib" / "libhh_dataio.so"))
+    img = native.decode_jpeg(path)  # dims looked up internally
+    assert img.shape == (8, 12, 3) and int(img[0, 0, 0]) == 10
+    half = native.decode_jpeg(path, 4, 6)
+    assert half.shape == (4, 6, 3)
+    with pytest.raises(IOError):
+        native.jpeg_dims(str(tmp_path / "nope.jpg"))
+    native.get_lib.cache_clear()  # drop the temp-built handle

@@ -355,3 +355,76 @@ def test_epic_postprocess_exact(monkeypatch):
     want_ndcg_vt = calculate_nDCG(sim, relevancy, k_v, IDCG=calculate_IDCG(relevancy, k_v))
     np.testing.assert_allclose(res["nDCG_VT"], want_ndcg_vt, rtol=1e-6)
     np.testing.assert_allclose(res["mAP_VT"], calculate_mAP(sim, relevancy), rtol=1e-6)
+
+
+def test_pretrain_saves_best_on_improved_inter_acc(egoclip_fixture, tmp_path, monkeypatch):
+    """Best-model checkpointing keys on EgoMCQ Inter-video accuracy
+    (run/train.py:244-261): an improving eval writes exp_dir/best, a
+    non-improving one leaves it at the better step."""
+    from helping_hand_for_egocentric_videos_tpu.train import pretrain as pt
+
+    accs = iter([40.0, 30.0, 55.0])
+
+    def fake_egomcq(model, ds, limit=0, **kw):
+        return {"Inter-video": next(accs), "Intra-video": 0.0}
+
+    monkeypatch.setattr(pt, "run_egomcq", fake_egomcq)
+
+    meta, data = egoclip_fixture
+    cfg = ExperimentConfig(name="best", output_dir=str(tmp_path / "runs"))
+    cfg.data.meta_dir = meta
+    cfg.data.data_dir = data
+    cfg.data.batch_size = 2
+    cfg.data.num_frames = 4
+    cfg.data.input_res = RES
+    cfg.data.num_workers = 1
+    cfg.optim.eval_freq = 1  # eval (and best-tracking) every step
+    cfg.optim.runtime_save_iter = 10
+    cfg.optim.epochs = 1
+    cfg.parallel.backbone_dtype = "float32"
+    cfg.parallel.num_devices = 2
+
+    state, best = pt.pretrain(cfg, max_steps=3, eval_limit=1, models=tiny_models())
+    assert best == 55.0
+    best_dir = str(tmp_path / "runs" / "best" / "best")
+    assert latest_step(best_dir) == 3  # steps 1 (40.0) then 3 (55.0); 30.0 skipped
+    restored, step = restore_checkpoint(
+        best_dir, template={"state": state, "best_acc": np.float64(0.0)}
+    )
+    assert step == 3 and float(restored["best_acc"]) == 55.0
+
+
+def test_trace_and_top_ops(tmp_path):
+    """utils/profiling: a jit step captured under trace() yields an
+    op-level self-time table via the xprof converter (SURVEY 5.1 — the
+    reference only has wall-clock meters)."""
+    pytest.importorskip("xprof.convert.raw_to_tool_data")
+    from helping_hand_for_egocentric_videos_tpu.utils.profiling import top_ops, trace
+
+    @jax.jit
+    def f(a, b):
+        return jnp.tanh(a @ b).sum()
+
+    a = jnp.ones((64, 64), jnp.float32)
+    with trace(str(tmp_path)):
+        jax.block_until_ready(f(a, a))
+    rows = top_ops(str(tmp_path), k=5)
+    assert 1 <= len(rows) <= 5
+    for t_ms, _host, op in rows:
+        assert t_ms >= 0 and isinstance(op, str)
+    with pytest.raises(FileNotFoundError):
+        top_ops(str(tmp_path / "empty"))
+
+
+def test_step_timer_warmup_semantics():
+    from helping_hand_for_egocentric_videos_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(warmup=2)
+    assert t.steps_per_sec == 0.0
+    t.tick()
+    assert t.steps_per_sec == 0.0  # still warming up
+    t.tick()  # warmup boundary: timer starts here
+    t.tick()
+    t.tick()
+    sps = t.steps_per_sec
+    assert sps > 0.0

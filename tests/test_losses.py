@@ -255,3 +255,66 @@ def test_single_query_mode_box_loss(rng):
     total, aux = compute_box_loss("all_boxes", out.pred_boxes, jnp.asarray(raw))
     assert np.isfinite(float(total))
     assert float(aux["num_boxes"]) == 8.0  # 2 valid boxes x 4 frame-rows
+
+
+def _np_egonce_multi_masked(x, tag_mask, pad_rows):
+    """Oracle for the single-mask / no-mask branches (loss.py:25-56 with
+    mask_sim_v or mask_sim_n alone / neither)."""
+    rn, n = x.shape
+    r = rn // n
+    keep = pad_rows.astype(bool)
+    base = np.repeat(np.eye(n), r, 0)
+    if tag_mask is not None:
+        base = base + np.repeat(tag_mask, r, 0)
+    mask = base * pad_rows[:, None]
+    xk, maskk = x[keep], mask[keep] > 0
+    ls = log_softmax(xk / T, axis=1)
+    li = np.mean(np.sum(ls * maskk, 1) / maskk.sum(1))
+    ls0 = log_softmax(xk / T, axis=0)
+    lj = np.mean(np.sum(ls0 * maskk, 0) / maskk.sum(0))
+    return -li - lj
+
+
+def test_egonce_multi_positive_single_mask_and_no_mask(rng):
+    """mask_n-only, mask_v-only and diagonal-only multi-positive modes."""
+    n, r = 5, 3
+    x = rng.normal(size=(n * r, n)).astype(np.float32) * 0.5
+    sv, sn = _tag_sim(rng, n, 10), _tag_sim(rng, n, 16)
+    pad = (rng.random(n * r) < 0.7).astype(np.float32)
+    pad[::r] = 1.0
+
+    got_n, _ = egonce_multi_positive_loss(
+        jnp.asarray(x), None, jnp.asarray(sn), jnp.asarray(pad)
+    )
+    np.testing.assert_allclose(float(got_n), _np_egonce_multi_masked(x, sn, pad), rtol=1e-4)
+
+    got_v, _ = egonce_multi_positive_loss(
+        jnp.asarray(x), jnp.asarray(sv), None, jnp.asarray(pad)
+    )
+    np.testing.assert_allclose(float(got_v), _np_egonce_multi_masked(x, sv, pad), rtol=1e-4)
+
+    got_0, mask0 = egonce_multi_positive_loss(
+        jnp.asarray(x), None, None, jnp.asarray(pad)
+    )
+    np.testing.assert_allclose(float(got_0), _np_egonce_multi_masked(x, None, pad), rtol=1e-4)
+    # diagonal-only positives: row i*? -> video i, only where the row is valid
+    want_mask = (np.repeat(np.eye(n), r, 0) * pad[:, None]) > 0
+    np.testing.assert_array_equal(np.asarray(mask0), want_mask)
+
+
+def test_egonce_multi_positive_2d_pad_mask(rng):
+    """The reference passes a (R*N, N) row-constant pad mask
+    (run/train.py:144-145); 1-D and 2-D forms must agree."""
+    n, r = 4, 3
+    x = rng.normal(size=(n * r, n)).astype(np.float32)
+    sv, sn = _tag_sim(rng, n, 8), _tag_sim(rng, n, 8)
+    pad = (rng.random(n * r) < 0.6).astype(np.float32)
+    pad[::r] = 1.0
+    got1, _ = egonce_multi_positive_loss(
+        jnp.asarray(x), jnp.asarray(sv), jnp.asarray(sn), jnp.asarray(pad)
+    )
+    pad2d = np.broadcast_to(pad[:, None], (n * r, n)).copy()
+    got2, _ = egonce_multi_positive_loss(
+        jnp.asarray(x), jnp.asarray(sv), jnp.asarray(sn), jnp.asarray(pad2d)
+    )
+    np.testing.assert_allclose(float(got1), float(got2), rtol=1e-6)

@@ -150,3 +150,69 @@ def test_path_vis_grid_colors():
     # a prediction on a clip row with no GT cell is skipped, not a crash
     g2 = visualise_path([(5, 0), (0, 0)], target, window)
     np.testing.assert_allclose(g2[:, 0, 0] * 255, (64, 191, 64))
+
+
+def test_t2v_ties_keep_first_rank():
+    """Tied ground-truth distances keep the first (best) rank per query
+    (model/metric.py:76-92 tie handling)."""
+    # video 1's caption ties with video 0's column: two zero-distance hits
+    sims = np.array(
+        [
+            [1.0, 0.2, 0.1],
+            [0.8, 0.8, 0.0],  # tie: gt dist -0.8 appears at ranks 0 and 1
+            [0.0, 0.1, 0.9],
+        ]
+    )
+    m = t2v_metrics(sims)
+    assert m["R1"] == 100.0  # the tie resolves optimistically to rank 0
+    assert m["MedR"] == 1.0
+
+
+def test_t2v_query_masks_filter_queries():
+    """query_masks drop padded captions from the rank pool
+    (model/metric.py:94-100 semantics)."""
+    sims = np.array(
+        [
+            [0.9, 0.1, 0.0],
+            [0.0, 0.1, 0.2],  # bad query: its own video ranks last
+            [0.1, 0.0, 0.8],
+        ]
+    )
+    full = t2v_metrics(sims)
+    masked = t2v_metrics(sims, query_masks=np.array([1, 0, 1]))
+    assert full["R1"] < 100.0 and masked["R1"] == 100.0
+
+
+def test_v2t_query_masks_exclude_captions():
+    """v2t with masked captions: excluded captions can neither win nor
+    compete (model/metric.py:128-170 missing_val semantics)."""
+    # caps 0,1 belong to vid 0; caps 2,3 to vid 1
+    sims = np.array(
+        [
+            [0.1, 0.2],
+            [0.95, 0.1],
+            [0.3, 0.0],
+            [0.0, 0.99],
+        ]
+    )
+    full = v2t_metrics(sims)
+    assert full["R1"] == 100.0  # cap 1 wins for vid 0, cap 3 for vid 1
+    # mask out each video's best caption: vid 0 falls back to cap 0
+    masked = v2t_metrics(sims, query_masks=np.array([1, 0, 1, 1]))
+    assert masked["R1"] < full["R1"]
+
+
+def test_v2t_tied_distances_average_rank():
+    """Tied caption distances contribute their average rank (VSE style)."""
+    sims = np.array(
+        [
+            [0.5, 0.0],
+            [0.0, 0.0],
+            [0.5, 0.0],  # caps 0, 2, 3 tie at the top for vid 0
+            [0.5, 0.9],
+        ]
+    )
+    m = v2t_metrics(sims)
+    # vid 0: its best cap (0) sits in a 3-way tie -> mean rank 1.0 (R1 miss);
+    # vid 1: its cap 3 wins outright (rank 0)
+    assert m["R1"] == 50.0 and m["R5"] == 100.0

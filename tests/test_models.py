@@ -473,3 +473,95 @@ def test_rows_kernel_interpret_shape_fuzz(rng, t, n_side, width, heads):
         np.testing.assert_allclose(
             np.asarray(got_p), np.asarray(want[:, 1:]), atol=atol, err_msg=mode
         )
+
+
+# ------------------------------------------- random-init image towers
+def test_clip_vit_random_init_forward():
+    """init_clip_vit_params must produce a tree clip_vit_encode can run
+    (shape contract of openai_model.py:206-273); loading-based tests cover
+    converted weights, this covers from-scratch init."""
+    import jax
+
+    from helping_hand_for_egocentric_videos_tpu.models import (
+        ClipVitConfig,
+        clip_vit_encode,
+        init_clip_vit_params,
+    )
+
+    cfg = ClipVitConfig(
+        input_resolution=32, patch_size=16, width=64, layers=2, heads=2, output_dim=16
+    )
+    assert cfg.grid == 2
+    params = init_clip_vit_params(jax.random.PRNGKey(0), cfg)
+    imgs = np.linspace(0, 1, 2 * 32 * 32 * 3, dtype=np.float32).reshape(2, 32, 32, 3)
+    out = clip_vit_encode(params, cfg, imgs)
+    assert out.shape == (2, 16) and np.isfinite(np.asarray(out)).all()
+    unproj = clip_vit_encode(params, cfg, imgs, apply_project=False)
+    assert unproj.shape == (2, 64)
+    fmap = clip_vit_encode(params, cfg, imgs, cls_at_last=False)
+    assert fmap.shape == (2, 4, 64)
+
+
+def test_clip_resnet_random_init_forward():
+    """init_clip_resnet_params -> clip_resnet_encode from scratch: stem,
+    4 stages with stride-2 anti-aliased bottlenecks, attention pool."""
+    import jax
+
+    from helping_hand_for_egocentric_videos_tpu.models import (
+        ClipResNetConfig,
+        clip_resnet_encode,
+        init_clip_resnet_params,
+    )
+
+    cfg = ClipResNetConfig(
+        layers=(1, 1, 1, 1), output_dim=24, heads=4, input_resolution=64, width=16
+    )
+    params = init_clip_resnet_params(jax.random.PRNGKey(1), cfg)
+    # every stage after the first downsamples once
+    assert "downsample" in params["layer2"][0]
+    assert params["layer2"][0]["stride"] == 2 and params["layer1"][0]["stride"] == 1
+    imgs = np.linspace(0, 1, 2 * 64 * 64 * 3, dtype=np.float32).reshape(2, 64, 64, 3)
+    out = clip_resnet_encode(params, cfg, imgs)
+    assert out.shape == (2, 24) and np.isfinite(np.asarray(out)).all()
+
+
+def test_flagship_config_constants_match_reference():
+    """Pin the released-architecture constants: TimeSformer-L (img 224,
+    patch 14, width 1024, depth 24, heads 16 — model/LaviLa.py:118-121)
+    with a 12x768 text tower and 256-d projections (LaviLa.py:151-160);
+    base = patch 16 / width 768 / depth 12 (LaviLa.py:55-111)."""
+    from helping_hand_for_egocentric_videos_tpu.models import (
+        timesformer_base_config,
+        timesformer_large_config,
+    )
+
+    big = timesformer_large_config(num_frames=4)
+    v = big.visual
+    assert (v.img_size, v.patch_size, v.width, v.depth, v.heads, v.num_frames) == (
+        224, 14, 1024, 24, 16, 4,
+    )
+    assert (big.text.width, big.text.heads, big.text.layers) == (768, 12, 12)
+    assert big.embed_dim == 256 and big.text.embed_dim == 256
+
+    base = timesformer_base_config(num_frames=4)
+    v = base.visual
+    assert (v.img_size, v.patch_size, v.width, v.depth, v.heads) == (224, 16, 768, 12, 12)
+    assert (base.text.width, base.text.heads, base.text.layers) == (512, 8, 12)
+
+
+def test_clip_preprocess_shapes_and_normalisation():
+    """zoo.clip_preprocess = the reference CLIP eval transform
+    (openai_clip.py:89-96): shorter-side bicubic resize, center crop,
+    CLIP channel normalisation. A constant image is invariant under
+    resize, so the normalised value is exact."""
+    from helping_hand_for_egocentric_videos_tpu.models.zoo import (
+        CLIP_MEAN,
+        CLIP_STD,
+        clip_preprocess,
+    )
+
+    imgs = np.full((2, 48, 80, 3), 128, np.uint8)
+    out = np.asarray(clip_preprocess(imgs, n_px=16))
+    assert out.shape == (2, 16, 16, 3)
+    want = (128 / 255.0 - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+    np.testing.assert_allclose(out, np.broadcast_to(want, out.shape), rtol=0, atol=1e-5)

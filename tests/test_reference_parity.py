@@ -1642,3 +1642,61 @@ def test_egoclip_hand_object_boxes_parity(rng, tmp_path):
 
     assert got_size == tuple(want_size)
     np.testing.assert_allclose(got_boxes, want_boxes.numpy(), rtol=1e-6)
+
+
+def test_build_models_openai_bootstrap_dispatch(tmp_path, rng):
+    """train.pretrain.build_models must route stock OpenAI CLIP weights
+    (sniffed by 'visual.class_embedding') through the bootstrap converter
+    and honour the int8_backbone flag — the reference factory path on
+    from-scratch runs (run/train.py:425-431)."""
+    import model.openai_model as openai_model
+
+    from helping_hand_for_egocentric_videos_tpu.core.config import ExperimentConfig
+    from helping_hand_for_egocentric_videos_tpu.models.weights import (
+        convert_openai_clip_checkpoint,
+    )
+    from helping_hand_for_egocentric_videos_tpu.train.pretrain import build_models
+
+    torch.manual_seed(11)
+    clip = openai_model.CLIP(
+        embed_dim=16,
+        image_resolution=IMG,
+        vision_layers=2,
+        vision_width=64,
+        vision_patch_size=PATCH,
+        context_length=12,
+        vocab_size=64,
+        transformer_width=32,
+        transformer_heads=4,
+        transformer_layers=2,
+    ).float()
+    randomize_(clip, 12)
+    ckpt = tmp_path / "openai_clip.pth"
+    torch.save(clip.state_dict(), str(ckpt))
+
+    cfg = ExperimentConfig()
+    cfg.model.backbone = "timesformer_tiny"
+    cfg.model.backbone_ckpt = str(ckpt)
+    cfg.model.project_embed_dim = 16
+    cfg.data.num_frames = T
+
+    _, backbone, _, decoder = build_models(cfg)
+    want = convert_openai_clip_checkpoint(
+        sd_np(clip), num_frames=T, project_embed_dim=16
+    )
+    flat_got = jax.tree_util.tree_leaves_with_path(backbone)
+    flat_want = dict(jax.tree_util.tree_leaves_with_path(want))
+    assert len(flat_got) == len(flat_want)
+    for path, leaf in flat_got:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_want[path]), rtol=1e-6, err_msg=str(path)
+        )
+    assert decoder is not None  # fresh init (no decoder_ckpt given)
+
+    # int8_backbone=True quantises the converted tower's matmul weights
+    cfg.model.int8_backbone = True
+    _, backbone_q, _, _ = build_models(cfg)
+    dtypes = {
+        np.asarray(l).dtype for l in jax.tree_util.tree_leaves(backbone_q)
+    }
+    assert np.dtype(np.int8) in dtypes
