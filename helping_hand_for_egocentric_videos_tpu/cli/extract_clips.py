@@ -39,6 +39,11 @@ def extract_one(path: str, out_path: str, fps: float, height: int, width: int) -
     except Exception as e:
         print(f"  FAILED {path}: {e}")
         return False
+    if len(frames) == 0:
+        # a failed/corrupt decode must not leave an empty .npy behind:
+        # readers treat an existing store as authoritative (_maybe_npy)
+        print(f"  FAILED {path}: decoded 0 frames")
+        return False
     np.save(out_path, frames)
     return True
 

@@ -197,3 +197,47 @@ def test_read_clip_chunked_mp4_missing_next_chunk_fallback(fake_ffmpeg):
     assert min(ids) >= 17985  # tail window [offset, vlen)
     assert _frame_values(frames) == [(50 + i) % 256 for i in ids]
     assert all(c["path"] == p0 for c in _calls(log))
+
+
+def test_extract_clips_ffmpeg_branch_skip_overwrite_and_failure(fake_ffmpeg, capsys):
+    """cli.extract_clips over the native ffmpeg pipe: full-chunk decode at
+    the requested fps/scale, skip-existing vs --overwrite, and a corrupt
+    source (0 decoded frames) must NOT leave an empty .npy store."""
+    from helping_hand_for_egocentric_videos_tpu.cli import extract_clips
+
+    tmp_path, log, make_chunk = fake_ffmpeg
+    (tmp_path / "vids" / "v1").mkdir(parents=True)
+    make_chunk("vids/v1/0.mp4", frames=10, base=50)
+    # corrupt source: no .meta.json sidecar -> the shim dies, pipe EOFs
+    (tmp_path / "vids" / "v1" / "bad.mp4").write_bytes(b"\x00\x00\x00 ftypisom")
+
+    extract_clips.main(
+        ["--src", str(tmp_path / "vids"), "--fps", "30", "--height", "4", "--width", "6"]
+    )
+    out = capsys.readouterr().out
+    assert "extracted 1/2 videos" in out and "FAILED" in out
+    store = tmp_path / "vids" / "v1" / "0.mp4.npy"
+    arr = np.load(store)
+    assert arr.shape == (10, 4, 6, 3)
+    assert _frame_values(arr) == list(range(50, 60))
+    assert not (tmp_path / "vids" / "v1" / "bad.mp4.npy").exists()
+    (call,) = [c for c in _calls(log) if c["path"].endswith("0.mp4")]
+    assert call["ss"] == 0.0 and call["fps"] == 30.0 and (call["w"], call["h"]) == (6, 4)
+
+    # existing store is skipped without --overwrite...
+    n_calls = len(_calls(log))
+    extract_clips.main(
+        ["--src", str(tmp_path / "vids"), "--fps", "30", "--height", "4", "--width", "6"]
+    )
+    good_calls = [c for c in _calls(log) if c["path"].endswith("0.mp4")]
+    assert len(good_calls) == 1  # not re-decoded
+
+    # ...and re-extracted with it (stale store removed before decode)
+    np.save(store, np.zeros((1, 4, 6, 3), np.uint8))  # poison the store
+    extract_clips.main(
+        ["--src", str(tmp_path / "vids"), "--fps", "30", "--height", "4",
+         "--width", "6", "--overwrite"]
+    )
+    good_calls = [c for c in _calls(log) if c["path"].endswith("0.mp4")]
+    assert len(good_calls) == 2
+    assert _frame_values(np.load(store)) == list(range(50, 60))
