@@ -30,6 +30,34 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import numpy as np
 import pytest
 
+# HH_TEST_WATCHDOG=<seconds>: dump every thread's stack and hard-exit if a
+# single test exceeds the budget. The axon TPU tunnel can die mid-run, after
+# which any device call blocks forever in an uninterruptible retry loop
+# (SIGINT is swallowed); without this the suite hangs silently. Use it for
+# unattended TPU-pinned runs, e.g. HH_TEST_WATCHDOG=900.
+_WATCHDOG = float(os.environ.get("HH_TEST_WATCHDOG", "0") or 0)
+if _WATCHDOG:
+    import faulthandler
+
+    # Dump to a file, NOT stderr: by conftest-import time pytest has
+    # already re-pointed fd 2 at its capture pipe, so a dump there dies
+    # with the process. The trace lands in HH_TEST_WATCHDOG_LOG
+    # (default /tmp/hh_test_watchdog.trace) together with the name of the
+    # test that was running.
+    _WD_LOG = os.environ.get("HH_TEST_WATCHDOG_LOG", "/tmp/hh_test_watchdog.trace")
+    _wd_stream = open(_WD_LOG, "w", buffering=1)
+
+    @pytest.fixture(autouse=True)
+    def _hh_watchdog(request):
+        _wd_stream.seek(0)
+        _wd_stream.truncate()
+        _wd_stream.write(f"armed for: {request.node.nodeid}\n")
+        _wd_stream.flush()
+        faulthandler.dump_traceback_later(_WATCHDOG, exit=True, file=_wd_stream)
+        yield
+        faulthandler.cancel_dump_traceback_later()
+
+
 _HH_COV = os.environ.get("HH_COV")
 if _HH_COV:
     import sys as _sys
