@@ -565,3 +565,20 @@ def test_clip_preprocess_shapes_and_normalisation():
     assert out.shape == (2, 16, 16, 3)
     want = (128 / 255.0 - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
     np.testing.assert_allclose(out, np.broadcast_to(want, out.shape), rtol=0, atol=1e-5)
+
+
+def test_public_exports_resolve():
+    """Every __all__ name on every import surface resolves (guards the
+    re-export shims and docs/API.md against rot)."""
+    import importlib
+
+    for mod in (
+        "ops", "models", "losses", "metrics", "data", "parallel", "train",
+        "serve", "core.config", "core.checkpoint", "models.weights",
+        "models.quant", "data.samplers",
+    ):
+        m = importlib.import_module(f"helping_hand_for_egocentric_videos_tpu.{mod}")
+        exported = getattr(m, "__all__", [])
+        assert exported, f"{mod} exports nothing"
+        for name in exported:
+            assert getattr(m, name, None) is not None, f"{mod}.{name} missing"
