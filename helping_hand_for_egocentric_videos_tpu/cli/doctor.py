@@ -1,0 +1,121 @@
+"""Environment diagnosis: what will and won't work on this host.
+
+Probes every gated dependency the framework uses — the JAX backend and
+devices (with a timeout, so a dead TPU tunnel reports ``unreachable``
+instead of blocking forever), the native C++ decode stage, the optional
+python decode backends, the compilation cache and the vendored BPE
+vocab — and prints one JSON report. Exit code 0 iff the compute path is
+usable (devices reachable + a tiny jit executes).
+
+The reference has no equivalent; its failures surface as import errors
+or NCCL timeouts deep inside the harnesses.
+
+Usage:
+    python -m helping_hand_for_egocentric_videos_tpu.cli.doctor [--timeout 60]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+
+
+def _with_timeout(fn, seconds: float):
+    """Run fn() on a daemon thread; (ok, value-or-error-string).
+
+    A wedged TPU tunnel blocks device calls in an uninterruptible retry
+    loop — a daemon thread lets the doctor report and exit anyway.
+    """
+    out: dict = {}
+
+    def run():
+        try:
+            out["value"] = fn()
+        except Exception as e:  # noqa: BLE001 - diagnosis, not control flow
+            out["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        return False, f"no response within {seconds:.0f}s (tunnel/driver hung?)"
+    if "error" in out:
+        return False, out["error"]
+    return True, out.get("value")
+
+
+def collect(timeout: float = 60.0) -> dict:
+    report: dict = {"python": sys.version.split()[0]}
+
+    import jax
+
+    report["jax"] = jax.__version__
+    report["jax_platforms_env"] = os.environ.get("JAX_PLATFORMS", "")
+
+    ok, val = _with_timeout(
+        lambda: [str(d) for d in jax.devices()], timeout
+    )
+    report["devices"] = val if ok else None
+    report["devices_error"] = None if ok else val
+
+    if ok:
+        import jax.numpy as jnp
+        import numpy as np
+
+        def smoke():
+            x = jnp.ones((128, 128), jnp.bfloat16)
+            return float(np.asarray(jnp.sum(x @ x)))
+
+        ok2, val2 = _with_timeout(smoke, timeout)
+        report["device_smoke"] = "ok" if ok2 else val2
+    else:
+        report["device_smoke"] = "skipped (no devices)"
+
+    # ---- host decode stage
+    from ..data import native, video
+
+    try:
+        native.get_lib()
+        report["native_stage"] = "ok"
+    except native.NativeUnavailable as e:
+        report["native_stage"] = str(e)
+    report["ffmpeg"] = bool(native.has_ffmpeg())
+    report["decode_backends"] = video.available_backends()
+
+    # ---- assets / caches
+    from ..data import tokenizer as tok_mod
+
+    vocab = getattr(tok_mod, "VOCAB_PATH", None) or os.path.join(
+        os.path.dirname(tok_mod.__file__), "assets", "clip_bpe_vocab.txt.gz"
+    )
+    report["bpe_vocab"] = os.path.isfile(vocab)
+    cache = os.environ.get("HH_COMPILATION_CACHE", "") or os.path.expanduser(
+        "~/.cache/hh_tpu_xla"
+    )
+    if os.path.isdir(cache):
+        n = sum(1 for _ in os.scandir(cache))
+        report["compile_cache"] = {"dir": cache, "entries": n}
+    else:
+        report["compile_cache"] = {"dir": cache, "entries": 0}
+
+    report["usable"] = bool(
+        report["devices"] and report["device_smoke"] == "ok" and report["bpe_vocab"]
+    )
+    return report
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--timeout", type=float, default=60.0,
+                   help="seconds to wait for the device backend")
+    args = p.parse_args(argv)
+    report = collect(timeout=args.timeout)
+    print(json.dumps(report, indent=2))
+    return 0 if report["usable"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

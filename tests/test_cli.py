@@ -334,3 +334,25 @@ def test_cli_parity_check_end_to_end(egoclip_fixture, tmp_path):  # noqa: F811
     # sim dumps exist for offline inspection
     assert (out_dir / "egomcq_sims_f32.npz").exists()
     assert (out_dir / "epic_sims_int8.npz").exists()
+
+
+def test_cli_doctor_reports_usable_env(capsys):
+    """cli.doctor: full environment report on a healthy backend, and the
+    timeout guard turns a hung device probe into a report, not a hang."""
+    from helping_hand_for_egocentric_videos_tpu.cli import doctor
+
+    rc = doctor.main(["--timeout", "60"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 0 and rep["usable"] is True
+    assert rep["devices"] and rep["device_smoke"] == "ok"
+    assert rep["bpe_vocab"] is True
+    assert "npy" in rep["decode_backends"]
+
+    import time
+
+    ok, msg = doctor._with_timeout(lambda: time.sleep(30), 0.2)
+    assert not ok and "no response" in msg
+    ok, val = doctor._with_timeout(lambda: 7, 5)
+    assert ok and val == 7
+    ok, msg = doctor._with_timeout(lambda: 1 / 0, 5)
+    assert not ok and "ZeroDivisionError" in msg
