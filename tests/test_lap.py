@@ -74,3 +74,51 @@ def test_forces_suboptimal_greedy():
     t2p, total = solve_lap(cost, jnp.ones(2, dtype=bool))
     np.testing.assert_array_equal(np.asarray(t2p), [0, 1])
     assert abs(float(total) - 5.0) < 1e-6
+
+
+# ------------------------------------------------- hypothesis properties
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+
+    @st.composite
+    def lap_problem(draw):
+        n = draw(st.integers(2, 13))
+        m = draw(st.integers(1, min(n, 8)))
+        # integer-ish costs maximise tie frequency (the adversarial case
+        # for assignment solvers); scale some to float to mix magnitudes
+        vals = st.one_of(
+            st.integers(-3, 3).map(float),
+            st.floats(-100, 100, allow_nan=False, width=32),
+        )
+        cost = draw(
+            st.lists(st.lists(vals, min_size=m, max_size=m), min_size=n, max_size=n)
+        )
+        valid = draw(st.lists(st.booleans(), min_size=m, max_size=m))
+        return np.array(cost, np.float32), np.array(valid, bool)
+
+    @given(lap_problem())
+    @settings(max_examples=60, deadline=None)
+    def test_lap_optimal_cost_property(problem):
+        """For every problem (ties, duplicate rows, negative costs,
+        degenerate validity) the solver's assignment is feasible and its
+        total equals scipy's optimum (model/box_utils.py:91 semantics)."""
+        cost, valid = problem
+        if valid.sum() > cost.shape[0]:  # infeasible: more targets than preds
+            valid[:] = False
+        t2p, total = solve_lap(jnp.asarray(cost), jnp.asarray(valid))
+        t2p, total = np.asarray(t2p), float(total)
+        ref_total, _ = scipy_cost(cost, valid)
+        assert abs(total - ref_total) < 1e-3 * max(1.0, abs(ref_total))
+        assert (t2p[~valid] == -1).all()
+        if valid.any():
+            matched = t2p[valid]
+            assert (matched >= 0).all()
+            assert len(set(matched.tolist())) == len(matched)
+            achieved = sum(cost[p, t] for t, p in enumerate(t2p) if p >= 0)
+            assert abs(achieved - ref_total) < 1e-3 * max(1.0, abs(ref_total))
