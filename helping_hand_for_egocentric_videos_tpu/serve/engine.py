@@ -40,6 +40,11 @@ class ServeConfig:
     # configured bucket — the no-cold-compile guarantee only holds when
     # all buckets a request can land in are warmed
     warmup_buckets: tuple | None = None
+    # a device call older than this marks health() "device_stalled": a
+    # wedged TPU tunnel blocks in an uninterruptible retry loop, so an
+    # external watchdog must learn it from /healthz, which therefore
+    # must never itself touch the device
+    stall_threshold_s: float = 120.0
 
 
 class _Pending:
@@ -94,6 +99,15 @@ class ServingEngine:
         self._queues = {"text": [], "video": []}
         self._cv = threading.Condition()
         self._closed = False
+        # device identity is captured ONCE here (init implies a live
+        # backend); health() must stay device-free so it keeps answering
+        # when the device wedges
+        import jax
+
+        self._backend = jax.default_backend()
+        self._n_devices = len(jax.devices())
+        self._last_device_done = time.time()
+        self._device_busy_since: float | None = None
         self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._thread.start()
 
@@ -132,12 +146,20 @@ class ServingEngine:
             self.submit_video(np.zeros((b, t, h, w, c), np.uint8))
 
     def health(self) -> dict:
-        import jax
-
+        """Engine + device-liveness status. Deliberately touches NO jax
+        API: when the TPU tunnel wedges, in-flight device calls block
+        forever — this must keep answering so an external watchdog can
+        see ``device_busy_s`` grow past the stall threshold."""
+        now = time.time()
+        busy_since = self._device_busy_since
+        busy_s = (now - busy_since) if busy_since is not None else 0.0
+        stalled = busy_s > self.cfg.stall_threshold_s
         return {
-            "status": "ok",
-            "backend": jax.default_backend(),
-            "devices": len(jax.devices()),
+            "status": "device_stalled" if stalled else "ok",
+            "backend": self._backend,
+            "devices": self._n_devices,
+            "device_busy_s": round(busy_s, 3),
+            "last_device_call_age_s": round(now - self._last_device_done, 3),
             "video_shape": list(self.video_shape),
             "buckets": list(self.buckets),
             "int8": bool(getattr(self.model, "int8", False)),
@@ -207,6 +229,7 @@ class ServingEngine:
                     self._run(kind, batch, n)
 
     def _run(self, kind: str, batch: list, n: int):
+        self._device_busy_since = time.time()
         try:
             items = np.concatenate([r.items for r in batch])
             outs = []
@@ -258,3 +281,6 @@ class ServingEngine:
             for r in batch:
                 r.error = e
                 r.done.set()
+        finally:
+            self._last_device_done = time.time()
+            self._device_busy_since = None

@@ -197,3 +197,50 @@ def test_http_server_end_to_end(monkeypatch):
         stop.set()
         th.join(timeout=30)
     assert not th.is_alive()
+
+
+def test_health_is_device_free_and_detects_stall(engine, monkeypatch):
+    """health() must answer without touching jax (a wedged tunnel blocks
+    every device call forever — /healthz is how a watchdog finds out) and
+    flag 'device_stalled' when a device call exceeds the threshold."""
+    h = engine.health()
+    assert h["status"] == "ok"
+    assert h["devices"] >= 1 and h["backend"]
+    assert h["device_busy_s"] == 0.0
+    assert h["last_device_call_age_s"] >= 0.0
+
+    # wedge: a device call that never returns (until we release it).
+    # Fresh engine with a tiny stall threshold (ServeConfig is frozen).
+    import time as _time
+
+    eng2 = ServingEngine(
+        engine.model,
+        video_shape=CLIP,
+        cfg=ServeConfig(buckets=(1, 2, 4), max_wait_ms=2.0, stall_threshold_s=0.05),
+    )
+    try:
+        release = threading.Event()
+        orig = engine.model.embed_tokens
+
+        def hanging(tokens):
+            release.wait(10.0)
+            return orig(tokens)
+
+        monkeypatch.setattr(eng2.model, "embed_tokens", hanging)
+        t = threading.Thread(target=lambda: eng2.submit_text(["stuck"]), daemon=True)
+        t.start()
+        deadline = _time.time() + 5.0
+        stalled = None
+        while _time.time() < deadline:
+            stalled = eng2.health()
+            if stalled["status"] == "device_stalled":
+                break
+        assert stalled["status"] == "device_stalled"
+        assert stalled["device_busy_s"] >= 0.05
+        release.set()
+        t.join(timeout=10)
+        monkeypatch.undo()
+        assert eng2.health()["status"] == "ok"  # recovers after completion
+    finally:
+        release.set()
+        eng2.close()
