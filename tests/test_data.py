@@ -819,3 +819,57 @@ def test_native_builds_from_scratch_and_single_decode(tmp_path, monkeypatch):
     with pytest.raises(IOError):
         native.jpeg_dims(str(tmp_path / "nope.jpg"))
     native.get_lib.cache_clear()  # drop the temp-built handle
+
+
+def test_pyav_reader_with_api_stub(tmp_path, monkeypatch):
+    """The PyAV branch (gated off on this box — no av wheel) against a
+    stub mirroring the av API: ordered decode, early break past the last
+    wanted index, missing ids fall back to the last decoded frame
+    (read_frames_av semantics, base_dataset.py:440-452)."""
+    from helping_hand_for_egocentric_videos_tpu.data import video
+
+    decoded = []
+
+    class FakeFrame:
+        def __init__(self, i):
+            self.i = i
+
+        def to_rgb(self):
+            return self
+
+        def to_ndarray(self):
+            return np.full((4, 6, 3), self.i, np.uint8)
+
+    class FakeContainer:
+        def __init__(self, n):
+            self.n = n
+
+            class _S:  # streams.video[0]
+                frames = n
+
+            self.streams = type("S", (), {"video": [_S()]})()
+
+        def decode(self, stream):
+            for i in range(self.n):
+                decoded.append(i)
+                yield FakeFrame(i)
+
+        def close(self):
+            pass
+
+    fake_av = type("av", (), {"open": lambda path: FakeContainer(8)})
+    monkeypatch.setattr(video, "_av", fake_av)
+    monkeypatch.setattr(video, "_cv2", None)
+
+    out = video._decode_at_pyav("x.mp4", [2, 5, 5, 9])
+    assert out.shape == (4, 4, 6, 3)
+    # frame 9 doesn't exist -> falls back to the last decoded wanted frame
+    assert [int(f[0, 0, 0]) for f in out] == [2, 5, 5, 5]
+    assert max(decoded) <= 8  # decode stops once past the last wanted id
+
+    # _video_num_frames falls through to av when cv2 is absent
+    assert video._video_num_frames("x.mp4") == 8
+
+    # read_frames_at routes to the pyav branch (no npy, no cv2)
+    out2 = video.read_frames_at(str(tmp_path / "missing.mp4"), [0, 3])
+    assert [int(f[0, 0, 0]) for f in out2] == [0, 3]
