@@ -5,6 +5,14 @@ Host-side numpy samplers with semantics matching the reference's
 over a frame range. All randomised variants take an explicit
 ``np.random.Generator`` so per-epoch shuffling is reproducible and
 per-worker independent (the reference uses the global ``random`` module).
+
+Documented divergences (oracle-tested on every deterministic path,
+tests/test_reference_parity.py::test_frame_samplers_match_reference_functions):
+``fix_start`` takes precedence here regardless of ``sample`` (the
+reference checks ``sample=='rand'`` first, so its ``fix_start`` is dead
+with the default mode), and ``sample_frames``'s rand path guards
+degenerate one-frame segments (the reference's ``random.choice(range(x,
+x))`` raises on them).
 """
 
 from __future__ import annotations

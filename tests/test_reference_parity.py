@@ -111,6 +111,24 @@ def _install_stubs():
         ftfy.fix_text = lambda s: s
         sys.modules["ftfy"] = ftfy
 
+    # base/base_dataset.py imports the decode wheels at module level; the
+    # sampler-math oracles below need none of them
+    for name in ("av", "decord", "ffmpeg"):
+        if name not in sys.modules:
+            sys.modules[name] = _stub_module(name)
+    # module level also runs decord.bridge.set_bridge("torch")
+    sys.modules["decord"].bridge = types.SimpleNamespace(set_bridge=lambda *a: None)
+    if "iopath" not in sys.modules:
+        iopath = _stub_module("iopath")
+        common = _stub_module("iopath.common")
+        file_io = _stub_module("iopath.common.file_io")
+        file_io.g_pathmgr = types.SimpleNamespace(open=open, exists=os.path.exists)
+        common.file_io = file_io
+        iopath.common = common
+        sys.modules["iopath"] = iopath
+        sys.modules["iopath.common"] = common
+        sys.modules["iopath.common.file_io"] = file_io
+
     if "pkg_resources" not in sys.modules:
         try:
             import pkg_resources  # noqa: F401
@@ -1700,3 +1718,51 @@ def test_build_models_openai_bootstrap_dispatch(tmp_path, rng):
         np.asarray(l).dtype for l in jax.tree_util.tree_leaves(backbone_q)
     }
     assert np.dtype(np.int8) in dtypes
+
+
+def test_frame_samplers_match_reference_functions():
+    """Deterministic sampler paths vs the ACTUAL reference functions
+    (base/base_dataset.py:178-245,195-219): uniform, fix_start, the
+    exact-window special case, clips midpoints, and jitter-off
+    get_frame_ids across a grid of (num_frames, extent)."""
+    import base.base_dataset as ref_bd
+
+    from helping_hand_for_egocentric_videos_tpu.data.samplers import (
+        get_frame_ids,
+        sample_frames,
+        sample_frames_clips,
+        sample_frames_start_end,
+    )
+
+    for nf in (1, 3, 4, 8, 16):
+        for vlen in (1, 2, 5, 30, 100, 601):
+            assert sample_frames(nf, vlen, sample="uniform") == list(
+                ref_bd.sample_frames(nf, vlen, sample="uniform")
+            ), (nf, vlen)
+            # the reference checks sample=='rand' BEFORE fix_start, so
+            # fix_start only takes effect with an explicit non-rand sample
+            # (and its rand path crashes on degenerate segments)
+            assert sample_frames(nf, vlen, fix_start=1) == list(
+                ref_bd.sample_frames(nf, vlen, sample="uniform", fix_start=1)
+            ), (nf, vlen)
+
+    for nf in (2, 4, 8):
+        for start, end in ((0, 4), (10, 13), (5, 90), (0, 1), (7, 7 + nf - 1)):
+            assert sample_frames_start_end(nf, start, end, sample="uniform") == list(
+                ref_bd.sample_frames_start_end(nf, start, end, sample="uniform")
+            ), (nf, start, end)
+            assert sample_frames_start_end(nf, start, end, fix_start=0) == list(
+                ref_bd.sample_frames_start_end(
+                    nf, start, end, sample="uniform", fix_start=0
+                )
+            ), (nf, start, end)
+
+    for start, end, vlen, acc in ((0, 100, 80, 4), (-5, 300, 200, 4), (10, 20, 50, 3)):
+        assert sample_frames_clips(start, end, vlen, acc) == list(
+            ref_bd.sample_frames_clips(start, end, vlen, acc)
+        ), (start, end, vlen, acc)
+
+    for start, end, seg in ((0, 120, 4), (30, 90, 16), (0, 2, 4)):
+        assert get_frame_ids(start, end, num_segments=seg, jitter=False) == list(
+            ref_bd.get_frame_ids(start, end, num_segments=seg, jitter=False)
+        ), (start, end, seg)
