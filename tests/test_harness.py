@@ -428,3 +428,29 @@ def test_step_timer_warmup_semantics():
     t.tick()
     sps = t.steps_per_sec
     assert sps > 0.0
+
+
+def test_prefetch_items_propagates_dataset_errors():
+    """A dataset exception inside the producer thread must surface to the
+    consuming harness loop (not hang or vanish)."""
+    from helping_hand_for_egocentric_videos_tpu.train.evaluate import _prefetch_items
+
+    class Bad:
+        def __getitem__(self, i):
+            if i == 2:
+                raise RuntimeError("decode exploded")
+            return i
+
+    got = []
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        for item in _prefetch_items(Bad(), 5, depth=2):
+            got.append(item)
+    assert got == [0, 1]
+
+
+def test_harnesses_reject_multicrop_models():
+    """Retrieval harnesses must refuse crop-major TTA models (the crops
+    return (k*B, E) rows; only run_egtea's max-pool handles that)."""
+    model = tiny_eval_model(t=4, preprocess="crops3")
+    with pytest.raises(ValueError, match="multi-crop"):
+        run_egomcq(model, [], limit=1)

@@ -150,3 +150,16 @@ def test_resize_matches_torch_tensor_interpolation(rng):
         .transpose(0, 2, 3, 1)
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_spatial_crops_tall_image_and_invalid_count(rng):
+    """Tall inputs take the top/center/bottom branch of SpatialCrop
+    (lavila_transforms.py:120-146); invalid crop counts raise."""
+    import pytest
+    v = (rng.random((2, 96, 48, 3)) * 255).astype(np.uint8)  # h > w
+    c3 = np.asarray(spatial_crops(jnp.asarray(v), crop=40, num_crops=3, short=48))
+    assert c3.shape == (3, 2, 40, 40, 3)
+    # top / center / bottom crops genuinely differ on random content
+    assert not np.array_equal(c3[0], c3[1]) and not np.array_equal(c3[1], c3[2])
+    with pytest.raises(ValueError, match="num_crops"):
+        spatial_crops(jnp.asarray(v), crop=40, num_crops=5, short=48)
