@@ -12,11 +12,18 @@ TFLOPs/clip; the reference's unfused eager eval with bs=1
 (run/test_epic.py:319) is generously assumed to reach that). The driver's
 north star is vs_baseline >= 5.
 
-The headline (last line) is the int8-quantized eval path — validated for
-retrieval rank-order stability through the full embed pipeline
-(tests/test_quant.py::test_int8_retrieval_rank_stability; real-weight
-re-validation plan in TODO.md / BENCH_NOTES.md "Int8 eval mode") — with
-the bf16 line printed above it. HH_BENCH_INT8=0 makes bf16 the headline.
+The headline (last line) is the unconditional bf16 eval path. The
+int8-quantized line prints above it tagged ``gated_on:
+real_weight_validation`` — int8 is rank-stability-validated on synthetic
+weights (tests/test_quant.py::test_int8_retrieval_rank_stability) but not
+yet on released checkpoints (absent from this environment), so it must
+not headline a claim (VERDICT r3 item 7). HH_BENCH_INT8=0 skips it.
+
+Wedge-proofing (VERDICT r3 item 1): a *subprocess* device probe with a
+hard timeout runs before any jit — a dead axon tunnel blocks any
+in-process device call forever — and a watchdog thread hard-exits with a
+structured JSON line if the backend dies mid-run. Every exit path prints
+a parseable final line and returns rc=0.
 """
 
 from __future__ import annotations
@@ -31,6 +38,18 @@ import numpy as np
 import os
 
 REFERENCE_CLIPS_PER_SEC = 30.0
+# Derivation (BASELINE.md "Baseline assumption and roofline adjudication"):
+# the reference publishes no throughput; the flagship 16f eval forward is
+# ~3.3 TFLOP/clip (model-fixed), A100 fp16 dense peak is 312 TF/s, and the
+# reference's unfused eager bs=1 torch eval loop (run/test_epic.py:319) is
+# generously assumed to reach ~32% of that peak -> ~30 clips/s.
+BASELINE_SOURCE = (
+    "analytic estimate, no published number: 3.3 TFLOP/clip fwd "
+    "(BENCH_NOTES.md roofline) / A100 fp16 peak 312 TF/s @ assumed 32% "
+    "util for eager bs=1 torch eval (BASELINE.md)"
+)
+FLOPS_PER_CLIP_16F = 3.3e12  # flagship fwd @16f/224^2 — BENCH_NOTES.md
+V5E_PEAK_TFLOPS = {"bf16": 197.0, "int8": 394.0}
 BATCH = 16
 FRAMES = 16
 STEPS = 5
@@ -120,6 +139,8 @@ def bench_train_step(int8_backbone: bool = False):
         "unit": "clips/s",
         "vs_baseline": None,  # reference publishes no train throughput
     }
+    if int8_backbone:
+        line["gated_on"] = "real_weight_validation"
     print(json.dumps(line), flush=True)
 
 
@@ -300,9 +321,9 @@ def main(quantize: bool):
     dt = time.perf_counter() - t0
 
     clips_per_sec = BATCH * STEPS / dt
+    peak_tf = V5E_PEAK_TFLOPS["int8" if quantize else "bf16"]
     line = {
-        "metric": "clips_per_sec_per_chip_16f_eval"
-        + ("" if quantize or not INT8 else "_bf16"),
+        "metric": "clips_per_sec_per_chip_16f_eval" + ("_int8" if quantize else ""),
         "value": round(clips_per_sec, 3),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC, 3),
@@ -310,24 +331,115 @@ def main(quantize: bool):
         # reference publishes no throughput number; see BASELINE.md
         # "Baseline assumption and roofline adjudication".
         "baseline_assumed": True,
+        "baseline_source": BASELINE_SOURCE,
+        # model-FLOPs utilisation of the assumed chip peak, so the
+        # per-chip-vs-pod reading of the >=5x target is explicit in the
+        # JSON (VERDICT r3 item 5)
+        "mfu": round(clips_per_sec * FLOPS_PER_CLIP_16F / (peak_tf * 1e12), 4),
+        "mfu_peak_assumed_tflops": peak_tf,
     }
     if quantize:
         line["quant"] = "int8-w8a8-dynamic"
+        line["gated_on"] = "real_weight_validation"
     print(json.dumps(line), flush=True)
 
 
+def _probe_devices(timeout: float):
+    """Bounded device-liveness probe, run in a SUBPROCESS.
+
+    A dead axon tunnel blocks ``jax.devices()`` (and any dispatch) forever
+    in-process — no in-process call is safe until a subprocess has proven
+    the backend answers. Returns {"platform","device_kind","n"} or None.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp, json; d = jax.devices(); "
+        "jax.block_until_ready(jnp.zeros((), jnp.float32) + 1); "
+        "print(json.dumps({'platform': d[0].platform, "
+        "'device_kind': getattr(d[0], 'device_kind', '?'), 'n': len(d)}))"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0 or not proc.stdout.strip():
+        return None
+    try:
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return None
+
+
+def _arm_watchdog(deadline: float) -> None:
+    """Hard-exit with a structured final JSON line if the run wedges.
+
+    The tunnel can die MID-run (observed r3: every device call then blocks
+    in an uninterruptible retry loop). The driver parses the final JSON
+    line, so a wedge must become a parseable line + rc=0, never rc=124.
+    """
+    import threading
+
+    def _fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "tpu_stalled_midrun",
+                    "value": 0.0,
+                    "unit": "clips/s",
+                    "vs_baseline": None,
+                    "detail": (
+                        f"hard deadline {deadline:.0f}s hit mid-run; the "
+                        "device backend likely wedged (see cli/doctor.py)"
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        os._exit(0)
+
+    timer = threading.Timer(deadline, _fire)
+    timer.daemon = True
+    timer.start()
+
+
 if __name__ == "__main__":
+    _t0 = time.perf_counter()
+    _budget = float(os.environ.get("HH_BENCH_BUDGET", "900"))
+
+    _probe = _probe_devices(
+        timeout=float(os.environ.get("HH_BENCH_PROBE_TIMEOUT", "120"))
+    )
+    if _probe is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "tpu_unavailable",
+                    "value": 0.0,
+                    "unit": "clips/s",
+                    "vs_baseline": None,
+                    "detail": (
+                        "bounded device probe failed or timed out before any "
+                        "jit; backend down (dead axon tunnel?) — run "
+                        "cli/doctor.py for diagnosis"
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        raise SystemExit(0)
+
+    _arm_watchdog(_budget + float(os.environ.get("HH_BENCH_GRACE", "480")))
+
     from helping_hand_for_egocentric_videos_tpu.cli.common import setup_compilation_cache
 
     setup_compilation_cache()
-
-    # The driver parses the FINAL JSON line as the headline, so the
-    # optional stages (train / e2e) must never starve or crash the eval
-    # lines: each runs only while inside HH_BENCH_BUDGET seconds (the
-    # remote-compile tunnel can take minutes per cold program) and any
-    # failure prints an error line instead of raising.
-    _t0 = time.perf_counter()
-    _budget = float(os.environ.get("HH_BENCH_BUDGET", "900"))
 
     def _optional(stage, fn, reserve: float):
         elapsed = time.perf_counter() - _t0
@@ -345,6 +457,7 @@ if __name__ == "__main__":
                 flush=True,
             )
 
+    print(json.dumps({"metric": "device_probe", **_probe}), flush=True)
     if TRAIN:
         _optional("train", bench_train_step, reserve=120.0)
         if INT8:
@@ -353,6 +466,8 @@ if __name__ == "__main__":
             )
     if E2E:
         _optional("e2e", bench_e2e, reserve=90.0)
-    main(quantize=False)
+    # int8 first (gated), bf16 LAST — the driver parses the final line as
+    # the headline and the unconditional number must headline (VERDICT r3)
     if INT8:
-        main(quantize=True)
+        _optional("eval_int8", lambda: main(quantize=True), reserve=60.0)
+    main(quantize=False)
