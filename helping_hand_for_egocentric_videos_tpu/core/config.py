@@ -27,6 +27,13 @@ class DataCfg:
     num_workers: int = 8
     frame_sample: str = "uniform"
     loading: str = "lax"
+    # Train-time random augmentation (the reference's force_centercrop
+    # inverse, data_loader/transforms.py:64-74; its shipped command sets
+    # force_centercrop=True i.e. augment off, run/train.py:443). Runs
+    # on-device inside the jitted step (ops/preprocess.py).
+    augment: bool = False
+    randcrop_scale: tuple = (0.5, 1.0)
+    color_jitter: tuple = (0.0, 0.0, 0.0)  # brightness, saturation, hue
 
 
 @dataclass
@@ -106,6 +113,10 @@ def _coerce(val: str, current: Any):
         return int(val)
     if isinstance(current, float):
         return float(val)
+    if isinstance(current, (tuple, list)):  # e.g. data.randcrop_scale=0.4,1.0
+        parts = [p for p in val.replace("(", "").replace(")", "").split(",") if p]
+        elem = current[0] if len(current) else 0.0
+        return type(current)(_coerce(p.strip(), elem) for p in parts)
     return val
 
 

@@ -32,6 +32,8 @@ __all__ = [
     "spatial_crops",
     "center_plus_four_crops",
     "center_plus_twohori_crops",
+    "random_resized_crop_flip_jitter",
+    "transform_boxes",
 ]
 
 LAVILA_MEAN = (108.3272985 / 255, 116.7460125 / 255, 104.09373615 / 255)
@@ -139,6 +141,279 @@ def spatial_crops(
         crops += [crop_at(xf, t, l) for t, l in offs]
     crops = jnp.stack(crops)
     return _norm(crops, mean, std)
+
+
+# --------------------------------------------------------------------------
+# Train-time random augmentation (the reference's force_centercrop=False
+# pipeline, data_loader/transforms.py:64-69: RandomResizedCropVideo(res,
+# scale) -> RandomHorizontalFlipVideo() -> ColorJitter(brightness,
+# saturation, hue) -> NormalizeVideo). The shipped pretraining command
+# neutralises it (force_centercrop=True, run/train.py:443), so the main
+# path stays resize_normalize; this provides the capability for
+# from-scratch pretraining with augmentation on.
+#
+# TPU-first design: everything runs on-device inside the jitted train step,
+# RNG-keyed (one jax.random key per step), with static output shapes — the
+# dynamic crop rectangle becomes a per-clip gather-based bilinear resize,
+# not a dynamic slice. One set of crop/flip/jitter parameters is drawn per
+# CLIP and applied to all its frames (torchvision _transforms_video
+# semantics).
+#
+# Two reference quirks, handled rather than replicated:
+# - Upstream, ColorJitter runs on (T, C, H, W) video tensors whose dim -3
+#   is TIME, so saturation/hue would crash for T != 3 frames (torchvision
+#   functional ops assert 3 channels at dim -3); only the layout-agnostic
+#   brightness multiply ever works, and the shipped config zeroes all
+#   three (color_jitter=(0, 0, 0)). We implement the *intended* per-clip
+#   channel-wise semantics.
+# - Upstream, enabling the random crop silently breaks box supervision:
+#   crop_boxes only undoes custom_img_crop (utils/box_ops.py:116-139) and
+#   the torchvision crop happens after boxes are finalised. We return the
+#   sampled crop/flip parameters so ``transform_boxes`` keeps the targets
+#   aligned with the pixels.
+# --------------------------------------------------------------------------
+
+
+def _sample_resized_crop(key, h: int, w: int, scale, ratio):
+    """torchvision RandomResizedCrop.get_params for one clip: 10 sampled
+    candidates, first in-bounds one wins, else the aspect-clamped center
+    crop. Returns (top, left, crop_h, crop_w) int32 scalars (traced)."""
+    k_area, k_ratio, k_pos = jax.random.split(key, 3)
+    area = float(h * w)
+    ta = jax.random.uniform(k_area, (10,), minval=scale[0], maxval=scale[1]) * area
+    log_r = jax.random.uniform(
+        k_ratio, (10,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+    )
+    ar = jnp.exp(log_r)
+    cw = jnp.round(jnp.sqrt(ta * ar)).astype(jnp.int32)
+    chh = jnp.round(jnp.sqrt(ta / ar)).astype(jnp.int32)
+    valid = (cw > 0) & (cw <= w) & (chh > 0) & (chh <= h)
+    idx = jnp.argmax(valid)  # first True
+    # fallback: clamp the whole frame's aspect into [ratio0, ratio1]
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        fw, fh = w, int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        fh, fw = h, int(round(h * ratio[1]))
+    else:
+        fw, fh = w, h
+    any_valid = jnp.any(valid)
+    cw = jnp.where(any_valid, cw[idx], fw)
+    chh = jnp.where(any_valid, chh[idx], fh)
+    k_i, k_j = jax.random.split(k_pos)
+    # randint(0, H - ch + 1) with traced bounds, via uniform * range
+    top = jnp.floor(jax.random.uniform(k_i, ()) * (h - chh + 1)).astype(jnp.int32)
+    left = jnp.floor(jax.random.uniform(k_j, ()) * (w - cw + 1)).astype(jnp.int32)
+    top = jnp.where(any_valid, top, (h - chh) // 2)
+    left = jnp.where(any_valid, left, (w - cw) // 2)
+    return top, left, chh, cw
+
+
+def _crop_resize_clip(x, top, left, ch, cw, res: int):
+    """Bilinear crop-then-resize of one clip (T, H, W, C) float to
+    (T, res, res, C), with traced crop rectangle and a static output shape.
+
+    Matches torch crop->interpolate(bilinear, align_corners=False, no
+    antialias): source coords are clamped to the CROP edges (replicate),
+    never sampling pixels outside the rectangle — a plain
+    scale_and_translate over the full frame would bleed across the crop
+    border."""
+    h, w = x.shape[1], x.shape[2]
+
+    def axis_coords(n_src, off, size):
+        c = (jnp.arange(res, dtype=jnp.float32) + 0.5) * (size / res) - 0.5
+        c = jnp.clip(c, 0.0, size.astype(jnp.float32) - 1.0) + off
+        c0 = jnp.floor(c).astype(jnp.int32)
+        f = c - c0
+        c1 = jnp.minimum(c0 + 1, off + size - 1)
+        c0 = jnp.clip(c0, 0, n_src - 1)
+        c1 = jnp.clip(c1, 0, n_src - 1)
+        return c0, c1, f
+
+    y0, y1, fy = axis_coords(h, top, ch)
+    rows = jnp.take(x, y0, axis=1) * (1.0 - fy)[:, None, None] + jnp.take(
+        x, y1, axis=1
+    ) * fy[:, None, None]
+    x0, x1, fx = axis_coords(w, left, cw)
+    out = jnp.take(rows, x0, axis=2) * (1.0 - fx)[:, None] + jnp.take(
+        rows, x1, axis=2
+    ) * fx[:, None]
+    return out
+
+
+def _adjust_brightness(x, f):
+    return jnp.clip(x * f, 0.0, 1.0)
+
+
+def _adjust_saturation(x, f):
+    # torchvision _blend(img, grayscale(img), f), Rec.601 luma weights
+    lum = jnp.asarray((0.2989, 0.587, 0.114), x.dtype)
+    gray = jnp.sum(x * lum, axis=-1, keepdims=True)
+    return jnp.clip(gray + f * (x - gray), 0.0, 1.0)
+
+
+def _adjust_hue(x, f):
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    mx = jnp.max(x, axis=-1)
+    mn = jnp.min(x, axis=-1)
+    d = mx - mn
+    safe = jnp.where(d > 0, d, 1.0)
+    hue = jnp.where(
+        mx == r,
+        jnp.mod((g - b) / safe, 6.0),
+        jnp.where(mx == g, (b - r) / safe + 2.0, (r - g) / safe + 4.0),
+    )
+    hue = jnp.where(d > 0, hue / 6.0, 0.0)
+    hue = jnp.mod(hue + f, 1.0)
+    sat = jnp.where(mx > 0, d / jnp.where(mx > 0, mx, 1.0), 0.0)
+    # hsv -> rgb
+    k = hue * 6.0
+    i = jnp.floor(k)
+    frac = k - i
+    p = mx * (1.0 - sat)
+    q = mx * (1.0 - sat * frac)
+    t = mx * (1.0 - sat * (1.0 - frac))
+    i6 = i.astype(jnp.int32) % 6
+    r_ = jnp.select([i6 == 0, i6 == 1, i6 == 2, i6 == 3, i6 == 4], [mx, q, p, p, t], mx)
+    g_ = jnp.select([i6 == 0, i6 == 1, i6 == 2, i6 == 3, i6 == 4], [t, mx, mx, q, p], p)
+    b_ = jnp.select([i6 == 0, i6 == 1, i6 == 2, i6 == 3, i6 == 4], [p, p, t, mx, mx], q)
+    return jnp.clip(jnp.stack([r_, g_, b_], axis=-1), 0.0, 1.0)
+
+
+def random_resized_crop_flip_jitter(
+    key,
+    video,
+    res: int = 224,
+    scale=(0.5, 1.0),
+    ratio=(3.0 / 4.0, 4.0 / 3.0),
+    flip_prob: float = 0.5,
+    brightness: float = 0.0,
+    saturation: float = 0.0,
+    hue: float = 0.0,
+    mean=LAVILA_MEAN,
+    std=LAVILA_STD,
+    dtype=jnp.float32,
+):
+    """On-device train augmentation: (B, T, H, W, C) uint8 (or [0,1]
+    float) -> ((B, T, res, res, C) normalised float, params dict).
+
+    One crop rectangle / flip decision / jitter factor-set per clip,
+    shared by its frames. The params dict (top/left/crop_h/crop_w int32
+    (B,), flip bool (B,)) feeds ``transform_boxes``. Deterministic per
+    ``key``. Defaults mirror data_loader/transforms.py:40-41
+    (randcrop_scale=(0.5, 1.0), color_jitter=(0, 0, 0) — jitter off).
+    """
+    if video.dtype == jnp.uint8:
+        x = video.astype(dtype) / 255.0
+    else:
+        x = video.astype(dtype)
+    b = x.shape[0]
+    k_crop, k_flip, k_fac, k_ord = jax.random.split(key, 4)
+    h, w = x.shape[2], x.shape[3]
+
+    tops, lefts, chs, cws = jax.vmap(
+        lambda k: _sample_resized_crop(k, h, w, scale, ratio)
+    )(jax.random.split(k_crop, b))
+    x = jax.vmap(lambda clip, t, l, ci, cj: _crop_resize_clip(clip, t, l, ci, cj, res))(
+        x, tops, lefts, chs, cws
+    )
+
+    flips = jax.random.bernoulli(k_flip, flip_prob, (b,))
+    x = jnp.where(flips[:, None, None, None, None], x[..., ::-1, :], x)
+
+    if brightness > 0 or saturation > 0 or hue > 0:
+        kb, ks, kh = jax.random.split(k_fac, 3)
+        bf = (
+            jax.random.uniform(
+                kb, (b,), minval=max(0.0, 1.0 - brightness), maxval=1.0 + brightness
+            )
+            if brightness > 0
+            else jnp.ones((b,))
+        )
+        sf = (
+            jax.random.uniform(
+                ks, (b,), minval=max(0.0, 1.0 - saturation), maxval=1.0 + saturation
+            )
+            if saturation > 0
+            else jnp.ones((b,))
+        )
+        hf = (
+            jax.random.uniform(kh, (b,), minval=-hue, maxval=hue)
+            if hue > 0
+            else jnp.zeros((b,))
+        )
+        # torchvision ColorJitter applies the enabled ops in a random
+        # order per call (per clip here)
+        perms = jax.vmap(lambda k: jax.random.permutation(k, 3))(
+            jax.random.split(k_ord, b)
+        )
+
+        def jitter_clip(clip, perm, bfi, sfi, hfi):
+            def apply_op(c, op):
+                return (
+                    jax.lax.switch(
+                        op,
+                        [
+                            lambda v: _adjust_brightness(v, bfi),
+                            lambda v: _adjust_saturation(v, sfi),
+                            lambda v: _adjust_hue(v, hfi),
+                        ],
+                        c,
+                    ),
+                    None,
+                )
+
+            out, _ = jax.lax.scan(apply_op, clip, perm)
+            return out
+
+        x = jax.vmap(jitter_clip)(x, perms, bf.astype(dtype), sf.astype(dtype), hf.astype(dtype))
+
+    params = {
+        "top": tops,
+        "left": lefts,
+        "crop_h": chs,
+        "crop_w": cws,
+        "flip": flips,
+        "src_h": h,
+        "src_w": w,
+    }
+    return _norm(x, mean, std), params
+
+
+def transform_boxes(boxes, params, res: int = 224, coords_res: int = 224):
+    """Map xyxy boxes given in the coords_res x coords_res squashed FULL
+    frame (the dataset contract, data/egoclip.py::_scale_boxes) into the
+    augmented frame produced by ``random_resized_crop_flip_jitter``.
+
+    boxes: (B, ..., 4) pixel xyxy; zero rows = absent and stay zero.
+    Boxes are clipped to the crop; ones that leave no area are zeroed
+    (absent) — the reference has no equivalent because its random-crop
+    path silently leaves boxes stale (see module comment).
+    """
+    b = boxes.shape[0]
+    lead = (b,) + (1,) * (boxes.ndim - 2)
+    fh = params["crop_h"].astype(boxes.dtype).reshape(lead)
+    fw = params["crop_w"].astype(boxes.dtype).reshape(lead)
+    top = params["top"].astype(boxes.dtype).reshape(lead)
+    left = params["left"].astype(boxes.dtype).reshape(lead)
+    flip = params["flip"].reshape(lead)
+    sx = params["src_w"] / coords_res
+    sy = params["src_h"] / coords_res
+
+    x0, y0, x1, y1 = (boxes[..., i] for i in range(4))
+    nx0 = (x0 * sx - left) * (res / fw)
+    nx1 = (x1 * sx - left) * (res / fw)
+    ny0 = (y0 * sy - top) * (res / fh)
+    ny1 = (y1 * sy - top) * (res / fh)
+    fx0 = jnp.where(flip, res - nx1, nx0)
+    fx1 = jnp.where(flip, res - nx0, nx1)
+    out = jnp.stack([fx0, ny0, fx1, ny1], axis=-1)
+    out = jnp.clip(out, 0.0, float(res))
+    present = jnp.any(boxes != 0, axis=-1, keepdims=True)
+    has_area = (
+        (out[..., 2:3] - out[..., 0:1] > 1e-3) & (out[..., 3:4] - out[..., 1:2] > 1e-3)
+    )
+    return jnp.where(present & has_area, out, 0.0)
 
 
 def _center_crop(x, ch: int, cw: int):

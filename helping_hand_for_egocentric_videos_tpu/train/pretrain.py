@@ -123,6 +123,9 @@ def pretrain(
         backbone_dtype=jnp.bfloat16
         if cfg.parallel.backbone_dtype == "bfloat16"
         else jnp.float32,
+        augment=cfg.data.augment,
+        randcrop_scale=tuple(cfg.data.randcrop_scale),
+        color_jitter=tuple(cfg.data.color_jitter),
     )
 
     devices = jax.devices()

@@ -50,6 +50,14 @@ class TrainConfig:
     input_res: int = 224  # device-side preprocess target for uint8 video
     num_queries: int = 12  # == args.num_queries (summary query excluded)
     backbone_dtype: Any = jnp.bfloat16
+    # Train-time random augmentation (data_loader/transforms.py:64-69).
+    # ``augment=False`` is the reference's shipped force_centercrop=True
+    # (run/train.py:443); True enables on-device RandomResizedCrop + flip
+    # + jitter, with box targets transformed alongside (the reference's
+    # random-crop path leaves boxes stale — see ops/preprocess.py).
+    augment: bool = False
+    randcrop_scale: tuple = (0.5, 1.0)
+    color_jitter: tuple = (0.0, 0.0, 0.0)  # brightness, saturation, hue
 
 
 class TrainState(NamedTuple):
@@ -220,7 +228,29 @@ def make_train_step(
 
     def step(state: TrainState, backbone_params, batch, noun_dict_embeds, rng):
         video = batch["video"]
-        if video.dtype == jnp.uint8:  # fused device-side preprocess
+        boxes = batch["boxes"]
+        if video.dtype == jnp.uint8 and cfg.augment:
+            # fused on-device random aug (transforms.py:64-69 train path)
+            from ..ops.preprocess import (
+                random_resized_crop_flip_jitter,
+                transform_boxes,
+            )
+
+            aug_key, rng = jax.random.split(rng)
+            bj, sj, hj = cfg.color_jitter
+            video, aug = random_resized_crop_flip_jitter(
+                aug_key,
+                video,
+                cfg.input_res,
+                scale=cfg.randcrop_scale,
+                brightness=bj,
+                saturation=sj,
+                hue=hj,
+            )
+            boxes = transform_boxes(
+                boxes, aug, res=cfg.input_res, coords_res=cfg.input_res
+            )
+        elif video.dtype == jnp.uint8:  # fused device-side preprocess
             from ..ops.preprocess import resize_normalize
 
             video = resize_normalize(video, cfg.input_res)
@@ -242,7 +272,7 @@ def make_train_step(
                 batch["tokens"],
                 batch["noun_vec"],
                 batch["verb_vec"],
-                batch["boxes"],
+                boxes,
                 batch["nouns"],
                 noun_dict_embeds,
                 rng=rng,

@@ -454,3 +454,38 @@ def test_harnesses_reject_multicrop_models():
     model = tiny_eval_model(t=4, preprocess="crops3")
     with pytest.raises(ValueError, match="multi-crop"):
         run_egomcq(model, [], limit=1)
+
+
+def test_pretrain_loop_with_augmentation(egoclip_fixture, tmp_path):
+    """The full pretrain loop with the train-time random-aug pipeline on
+    (the reference's force_centercrop=False path, transforms.py:64-69):
+    crops/flips/jitter run on-device inside the jitted step and the loss
+    stays finite."""
+    from helping_hand_for_egocentric_videos_tpu.train.pretrain import pretrain
+
+    meta, data = egoclip_fixture
+    cfg = ExperimentConfig(name="tiny_aug", output_dir=str(tmp_path / "runs"))
+    cfg.data.meta_dir = meta
+    cfg.data.data_dir = data
+    cfg.data.batch_size = 2
+    cfg.data.num_frames = 4
+    cfg.data.input_res = RES
+    cfg.data.num_workers = 2
+    cfg.data.augment = True
+    cfg.data.randcrop_scale = (0.5, 1.0)
+    cfg.data.color_jitter = (0.2, 0.2, 0.1)
+    cfg.model.num_queries = 12
+    cfg.optim.eval_freq = 1000
+    cfg.optim.runtime_save_iter = 1000
+    cfg.optim.epochs = 1
+    cfg.parallel.backbone_dtype = "float32"
+    cfg.parallel.num_devices = 2  # global batch (pos+neg=4) must divide
+
+    state, _ = pretrain(cfg, max_steps=2, eval_limit=1, models=tiny_models())
+    assert int(state.step) == 2
+    lines = [
+        json.loads(l)
+        for l in open(tmp_path / "runs" / "tiny_aug" / "train_metrics.jsonl")
+    ]
+    losses = [l["local/total_loss"] for l in lines if "local/total_loss" in l]
+    assert losses and all(np.isfinite(losses))
