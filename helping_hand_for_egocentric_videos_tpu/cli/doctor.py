@@ -101,9 +101,101 @@ def collect(timeout: float = 60.0) -> dict:
     else:
         report["compile_cache"] = {"dir": cache, "entries": 0}
 
+    report["released_weights"] = released_weights_report()
+
     report["usable"] = bool(
         report["devices"] and report["device_smoke"] == "ok" and report["bpe_vocab"]
     )
+    return report
+
+
+# The released artifacts the accuracy-parity gate needs (reference
+# README.md:16,47). The LaviLa file name embeds its own md5 prefix
+# (…md5sum_c89337.pth); the Oxford tarballs publish no hash, so we record
+# the sha256 of whatever is found for the PARITY_REPORT provenance trail.
+RELEASED_WEIGHTS = [
+    {
+        "file": "clip_openai_timesformer_large.narrator_rephraser.ep_0003."
+        "md5sum_c89337.pth",
+        "role": "frozen LaviLa TSF-L dual encoder (--backbone_ckpt)",
+        "md5_prefix": "c89337",
+        "source": "dl.fbaipublicfiles.com/lavila/checkpoints/dual_encoders/"
+        "ego4d/",
+    },
+    {
+        "file": "helping-hand-ckpt-nq12.pth.tar",
+        "role": "trained decoder, 12 object queries (--decoder_ckpt)",
+        "md5_prefix": None,
+        "source": "robots.ox.ac.uk/~czhang/",
+    },
+    {
+        "file": "helping-hand-ckpt-nq4.pth.tar",
+        "role": "optional: 4-query decoder used for box extraction",
+        "md5_prefix": None,
+        "source": "robots.ox.ac.uk/~czhang/",
+    },
+]
+
+def _weight_search_dirs() -> list[str]:
+    return [
+        os.path.expanduser(d)
+        for d in (
+            os.environ.get("HH_WEIGHTS", ""),
+            os.environ.get("HH_CLIP_CACHE", ""),
+            "weights",
+            "~/.cache/clip",
+            "~/.cache/lavila",
+            "~/.cache/helping_hand",
+        )
+        if d
+    ]
+
+
+def released_weights_report() -> dict:
+    """Machine-readable precondition for the real-weight parity gate
+    (cli/parity_check.py): which released checkpoints are present, where
+    the framework looked, and the one command to run once they exist."""
+    import hashlib
+
+    dirs = _weight_search_dirs()
+    found: dict[str, dict] = {}
+    for spec in RELEASED_WEIGHTS:
+        for d in dirs:
+            path = os.path.join(d, spec["file"])
+            if os.path.isfile(path):
+                h = hashlib.md5()
+                with open(path, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+                md5 = h.hexdigest()
+                entry = {
+                    "path": path,
+                    "bytes": os.path.getsize(path),
+                    "md5": md5,
+                }
+                if spec["md5_prefix"]:
+                    entry["md5_matches_name"] = md5.startswith(spec["md5_prefix"])
+                found[spec["file"]] = entry
+                break
+    required = [s["file"] for s in RELEASED_WEIGHTS[:2]]
+    present = all(f in found for f in required)
+    report = {
+        "expected": RELEASED_WEIGHTS,
+        "search_dirs": dirs,
+        "found": found,
+        "parity_gate_ready": present,
+    }
+    if present:
+        b = found[required[0]]["path"]
+        d = found[required[1]]["path"]
+        report["run"] = (
+            "python -m helping_hand_for_egocentric_videos_tpu.cli.parity_check "
+            f"--backbone_ckpt {b} --decoder_ckpt {d} "
+            "--egomcq_meta <meta> --egomcq_data <videos> "
+            "--epic_meta <meta> --epic_data <videos>"
+        )
+    else:
+        report["blocked_on"] = [f for f in required if f not in found]
     return report
 
 

@@ -356,3 +356,30 @@ def test_cli_doctor_reports_usable_env(capsys):
     assert ok and val == 7
     ok, msg = doctor._with_timeout(lambda: 1 / 0, 5)
     assert not ok and "ZeroDivisionError" in msg
+
+
+def test_doctor_released_weights_precondition(tmp_path, monkeypatch):
+    """The parity gate's machine-readable precondition (VERDICT r3 item 4):
+    absent weights -> blocked_on names the exact files; present weights ->
+    parity_gate_ready with md5 provenance and the one-command run line."""
+    from helping_hand_for_egocentric_videos_tpu.cli import doctor
+
+    monkeypatch.setenv("HH_WEIGHTS", str(tmp_path))
+    monkeypatch.delenv("HH_CLIP_CACHE", raising=False)
+    rep = doctor.released_weights_report()
+    assert rep["parity_gate_ready"] is False
+    assert (
+        "clip_openai_timesformer_large.narrator_rephraser.ep_0003."
+        "md5sum_c89337.pth" in rep["blocked_on"]
+    )
+    assert "helping-hand-ckpt-nq12.pth.tar" in rep["blocked_on"]
+
+    for spec in doctor.RELEASED_WEIGHTS[:2]:
+        (tmp_path / spec["file"]).write_bytes(b"stub-weights")
+    rep = doctor.released_weights_report()
+    assert rep["parity_gate_ready"] is True
+    lavila = rep["found"][doctor.RELEASED_WEIGHTS[0]["file"]]
+    assert lavila["bytes"] > 0 and len(lavila["md5"]) == 32
+    # a stub cannot match the name-embedded md5 prefix -> flagged False
+    assert lavila["md5_matches_name"] is False
+    assert "--backbone_ckpt" in rep["run"] and "--decoder_ckpt" in rep["run"]
