@@ -182,3 +182,28 @@ def test_extract_clips_resizes_on_fallback(chunks, tmp_path):
     assert extract_one(p0, out, FPS, height=24, width=32)
     arr = np.load(out)
     assert arr.shape == (CHUNK_FRAMES, 24, 32, 3)
+
+
+def test_ffmpeg_pipe_decodes_real_mp4(chunks):
+    """Deploy-time checklist step (docs/DATA.md): on a host with a real
+    ffmpeg binary, drive the native ffmpeg-pipe decoder (the decord
+    replacement, base/base_dataset.py:274-323) against a GENUINE mp4 and
+    verify frame selection + channel order. Skips where no binary exists
+    (this CI image has none — the pipe's CLI surface is covered by the
+    fake-ffmpeg shim in tests/test_ffmpeg_path.py instead)."""
+    from helping_hand_for_egocentric_videos_tpu.data import native
+
+    if not native.has_ffmpeg():
+        pytest.skip("no real ffmpeg binary on PATH (see docs/DATA.md checklist)")
+    p0, _ = chunks
+    # decode 1 second starting at t=0.5 (global frames 15..44), at the
+    # file's native resolution so the stripe decoding stays exact
+    frames = native.decode_clip_ffmpeg(p0, 0.5, 1.0, FPS, W, H, 40)
+    assert len(frames) >= 25
+    idx0 = _decode_idx(frames[0])
+    assert abs(idx0 - 15) <= 2  # codec seek tolerance
+    ids = [_decode_idx(f) for f in frames[:10]]
+    assert ids == sorted(ids) and len(set(ids)) >= 9  # consecutive frames
+    zone = frames[0][36:, :, :].reshape(-1, 3).mean(axis=0)
+    assert abs(zone[0] - ZONE_RGB[0]) < 40  # RGB (not BGR) output
+    assert abs(zone[2] - ZONE_RGB[2]) < 40
