@@ -59,6 +59,10 @@ class SpaceTimeConfig:
     use_quick_gelu: bool = True  # CLIP-initialised towers use QuickGELU
     # 'auto' -> Pallas fused attention on TPU, plain XLA elsewhere
     attention_backend: str = "auto"
+    # kernel-tail A/B (BENCH_NOTES r4): take the softmax denominator from
+    # an appended ones column of the value dot, fusing exp straight into
+    # the bf16 probs (fewer VPU passes over the f32 logits)
+    fused_den_attention: bool = False
 
     @property
     def patches_per_frame(self) -> int:
@@ -130,7 +134,7 @@ def _use_pallas(backend: str) -> bool:
     return False
 
 
-def _var_attention_pallas(p, x_cls, x_p, t: int, n: int, heads: int, mode: str, interpret=False):
+def _var_attention_pallas(p, x_cls, x_p, t: int, n: int, heads: int, mode: str, interpret=False, fused_den=False):
     """Divided attention via the packed-qkv Pallas kernel on a split
     (cls, patches) representation: the patch qkv matmul's (B, T*N, 3D)
     output reshapes for free into the kernel's (B, T, N, 3D) tile — no
@@ -165,7 +169,7 @@ def _var_attention_pallas(p, x_cls, x_p, t: int, n: int, heads: int, mode: str, 
     quant_out = "w_q" in p["proj"] and "q_on" not in p["proj"]
     out_patch, (m, s, co) = divided_patch_attention(
         qkv_p, cls_k, cls_v, cls_q, mode=mode, heads=heads, interpret=interpret,
-        quant_out=quant_out,
+        quant_out=quant_out, fused_den=fused_den,
     )
     cls_out = merge_cls_partials(m, s, co, cls_q, cls_k, cls_v, heads)
     cls_out = cls_out.astype(x_cls.dtype)[:, None, :]
@@ -194,7 +198,7 @@ def _kernel_friendly(n: int, d: int, heads: int, t: int) -> bool:
     return dh % 64 == 0 and n % 8 == 0 and n >= 32 and heads <= 16 and t <= 128
 
 
-def _var_attention_split(p, x_cls, x_p, t, n, heads, mode, backend):
+def _var_attention_split(p, x_cls, x_p, t, n, heads, mode, backend, fused_den=False):
     """Divided attention on the split (cls, patches) representation.
 
     mode='space': patch tokens attend within their frame (groups of N),
@@ -203,13 +207,15 @@ def _var_attention_split(p, x_cls, x_p, t, n, heads, mode, backend):
     attends over all 1+T*N tokens (model/LaviLa.py:246-276).
     """
     if backend == "pallas_interpret":  # CPU-testable kernel path
-        return _var_attention_pallas(p, x_cls, x_p, t, n, heads, mode, interpret=True)
+        return _var_attention_pallas(
+            p, x_cls, x_p, t, n, heads, mode, interpret=True, fused_den=fused_den
+        )
     if isinstance(x_p, tuple) or (
         _use_pallas(backend) and _kernel_friendly(n, x_p.shape[-1], heads, t)
     ):
         # a tuple x_p is the ln_int8 pre-quantized stream — the caller
         # (_block) only produces it when this pallas path is taken
-        return _var_attention_pallas(p, x_cls, x_p, t, n, heads, mode)
+        return _var_attention_pallas(p, x_cls, x_p, t, n, heads, mode, fused_den=fused_den)
     x = jnp.concatenate([x_cls, x_p], axis=1)
     out = _var_attention(p, x, t, n, heads, mode)
     return out[:, :1], out[:, 1:]
@@ -305,7 +311,7 @@ def _block(p, x, cfg: SpaceTimeConfig, t: int, n: int):
         p["timeattn"],
         layer_norm(p["norm3"], x_cls, eps),
         norm_patch(p["norm3"], x_p),
-        t, n, cfg.heads, "time", be,
+        t, n, cfg.heads, "time", be, fused_den=cfg.fused_den_attention,
     )
     tr_cls, tr_p = x_cls + tc, x_p + tp
 
@@ -313,7 +319,7 @@ def _block(p, x, cfg: SpaceTimeConfig, t: int, n: int):
         p["attn"],
         layer_norm(p["norm1"], tr_cls, eps),
         norm_patch(p["norm1"], tr_p),
-        t, n, cfg.heads, "space", be,
+        t, n, cfg.heads, "space", be, fused_den=cfg.fused_den_attention,
     )
     # 'frozen-in-time' residual: from x, not time_residual (L:383-384)
     sr_cls, sr_p = x_cls + sc, x_p + sp

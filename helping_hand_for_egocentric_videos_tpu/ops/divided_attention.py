@@ -58,7 +58,7 @@ _PREC = jax.lax.Precision.DEFAULT
 
 def _rows_kernel(
     qkv_ref, cls_ref, o_ref, m_ref, s_ref, co_ref, *rest,
-    heads, dh, scale, nb, t, quant_out=False,
+    heads, dh, scale, nb, t, quant_out=False, fused_den=False,
 ):
     """One tile of divided attention on flat rows (+ CLS query row).
 
@@ -113,13 +113,36 @@ def _rows_kernel(
         ) + self_mask  # (RA, 1)
         # softmax over [cls | visible rows] without materialising a concat
         m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), lc)
-        e_p = jnp.exp(logits - m)
         e_c = jnp.exp(lc - m)
-        den = jnp.sum(e_p, axis=-1, keepdims=True) + e_c
-        raw = jax.lax.dot_general(
-            e_p.astype(rows.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )  # (RA, dh)
+        if fused_den:
+            # single elementwise pass over the logits: exp fused straight
+            # into the bf16 probs the MXU consumes (no f32 e_p buffer, no
+            # separate sum or cast passes). The denominator rides the
+            # value dot as an appended ones column — the (R, dh=64)
+            # operand is lane-padded to 128 by Mosaic anyway, so the
+            # column (and its zero fill) is free MXU work. den is then a
+            # sum of the SAME bf16 probs the numerator uses; per-row
+            # rounding errors average out (~1e-4 relative, see
+            # tests/test_tpu_kernels.py fused-vs-plain agreement).
+            p = jnp.exp(logits - m).astype(rows.dtype)  # (RA, R) bf16
+            pad = (-(dh + 1)) % 128  # >=128 output lanes (landmine 6)
+            cols = [v, jnp.ones((r, 1), rows.dtype)]
+            if pad:
+                cols.append(jnp.zeros((r, pad), rows.dtype))
+            vp = jnp.concatenate(cols, axis=1)  # (R, dh+1+pad): [v | 1 | 0]
+            raw128 = jax.lax.dot_general(
+                p, vp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )  # (RA, 128)
+            raw = raw128[:, :dh]
+            den = raw128[:, dh : dh + 1] + e_c
+        else:
+            e_p = jnp.exp(logits - m)
+            den = jnp.sum(e_p, axis=-1, keepdims=True) + e_c
+            raw = jax.lax.dot_general(
+                e_p.astype(rows.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )  # (RA, dh)
         out = (raw[:r] + e_c[:r] * cv.astype(jnp.float32)) / den[:r]
         if quant_out:
             scratch_ref[:, sl] = out  # f32; quantized once after the loop
@@ -194,7 +217,8 @@ def _temporal_block(t: int, n: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "heads", "interpret", "quant_out")
+    jax.jit,
+    static_argnames=("mode", "heads", "interpret", "quant_out", "fused_den"),
 )
 def divided_patch_attention(
     qkv,
@@ -206,6 +230,7 @@ def divided_patch_attention(
     heads: int,
     interpret: bool = False,
     quant_out: bool = False,
+    fused_den: bool = False,
 ):
     """Patch-token divided attention on packed qkv (+ CLS partials).
 
@@ -235,7 +260,7 @@ def divided_patch_attention(
         r = n
         kernel = functools.partial(
             _rows_kernel, heads=heads, dh=dh, scale=scale, nb=None, t=t,
-            quant_out=quant_out,
+            quant_out=quant_out, fused_den=fused_den,
         )
         grid = (b, t)
         g = t
@@ -247,7 +272,7 @@ def divided_patch_attention(
         r = t * nb
         kernel = functools.partial(
             _rows_kernel, heads=heads, dh=dh, scale=scale, nb=nb, t=t,
-            quant_out=quant_out,
+            quant_out=quant_out, fused_den=fused_den,
         )
         grid = (b, n // nb)
         g = n // nb

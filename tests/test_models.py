@@ -582,3 +582,82 @@ def test_public_exports_resolve():
         assert exported, f"{mod} exports nothing"
         for name in exported:
             assert getattr(m, name, None) is not None, f"{mod}.{name} missing"
+
+
+def test_rows_kernel_fused_den_interpret(rng):
+    """fused_den A/B variant (kernel-tail experiment, BENCH_NOTES r4):
+    exp fused straight into the bf16 probs and the softmax denominator
+    taken from an appended ones column of the value dot. Must agree with
+    the plain kernel exactly in f32 (the ones-column sum IS the sum) and
+    to bf16-prob rounding noise in bf16, for both modes, with CLS
+    partials and with quant_out."""
+    from helping_hand_for_egocentric_videos_tpu.ops.divided_attention import (
+        divided_patch_attention,
+        merge_cls_partials,
+    )
+
+    b, t, n, d, heads = 2, 2, 16, 128, 2
+    qkv = jnp.asarray(rng.normal(size=(b, t, n, 3 * d)).astype(np.float32) * 0.3)
+    ck = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.3)
+    cv = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.3)
+    cq = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.3)
+
+    for mode in ("space", "time"):
+        for dtype, atol in ((jnp.float32, 1e-6), (jnp.bfloat16, 2e-2)):
+            args = (qkv.astype(dtype), ck.astype(dtype), cv.astype(dtype),
+                    cq.astype(dtype))
+            ref, (m0, s0, co0) = divided_patch_attention(
+                *args, mode=mode, heads=heads, interpret=True
+            )
+            out, (m1, s1, co1) = divided_patch_attention(
+                *args, mode=mode, heads=heads, interpret=True, fused_den=True
+            )
+            np.testing.assert_allclose(
+                np.asarray(out, np.float32),
+                np.asarray(ref, np.float32),
+                atol=atol,
+                err_msg=f"{mode}/{dtype}",
+            )
+            # CLS partials: identical maxes; fused den/value partials only
+            # differ by bf16 prob rounding
+            np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(s1), np.asarray(s0), rtol=1e-2 if dtype == jnp.bfloat16 else 1e-6
+            )
+            cls0 = merge_cls_partials(m0, s0, co0, cq, ck, cv, heads)
+            cls1 = merge_cls_partials(m1, s1, co1, cq, ck, cv, heads)
+            np.testing.assert_allclose(
+                np.asarray(cls1), np.asarray(cls0), atol=atol, err_msg=f"{mode}/{dtype}"
+            )
+
+        # quant_out composes with fused_den
+        (q0, sx0), _ = divided_patch_attention(
+            qkv, ck, cv, cq, mode=mode, heads=heads, interpret=True, quant_out=True
+        )
+        (q1, sx1), _ = divided_patch_attention(
+            qkv, ck, cv, cq, mode=mode, heads=heads, interpret=True,
+            quant_out=True, fused_den=True,
+        )
+        np.testing.assert_allclose(np.asarray(sx1), np.asarray(sx0), rtol=1e-5)
+        assert (np.abs(np.asarray(q1, np.int32) - np.asarray(q0, np.int32)) <= 1).all()
+
+
+def test_backbone_fused_den_interpret_agrees_with_xla(rng):
+    """Full 2-block backbone with fused_den_attention=True (interpret
+    kernels) vs the XLA einsum path."""
+    from dataclasses import replace
+
+    cfg_pl = SpaceTimeConfig(
+        img_size=112, patch_size=14, width=128, depth=2, heads=2, num_frames=2,
+        attention_backend="pallas_interpret", fused_den_attention=True,
+    )
+    cfg_xla = replace(
+        cfg_pl, attention_backend="xla", fused_den_attention=False
+    )
+    params = init_spacetime_params(jax.random.PRNGKey(0), cfg_pl)
+    video = jnp.asarray(rng.normal(size=(1, 2, 112, 112, 3)).astype(np.float32))
+    a_cls, a = spacetime_forward(params, cfg_xla, video, use_remat=False, dtype=jnp.float32)
+    b_cls, b = spacetime_forward(params, cfg_pl, video, use_remat=False, dtype=jnp.float32)
+    atol = 2e-5 if jax.default_backend() == "cpu" else 3e-2
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+    np.testing.assert_allclose(np.asarray(a_cls), np.asarray(b_cls), atol=atol)
