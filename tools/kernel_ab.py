@@ -1,0 +1,170 @@
+"""One-command on-chip A/B for the fused-denominator rows kernel.
+
+Measures (BENCH_NOTES r4 "Kernel-tail experiment"):
+1. attention-only 24-layer chains (spatial + temporal) at ViT-L eval
+   shapes, plain vs fused_den — single-dispatch chains per the dev-box
+   methodology (per-call loops are polluted ~100x by tunnel dispatch);
+2. the full 16-frame eval forward (bf16 and int8) with
+   SpaceTimeConfig.fused_den_attention off/on.
+
+Wedge-proof like bench.py: a bounded subprocess device probe runs before
+any jit; a dead tunnel yields one structured line and rc=0.
+
+Usage (dev box):
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/kernel_ab.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _probe(timeout: float = 120.0) -> bool:
+    code = (
+        "import jax, jax.numpy as jnp; jax.devices(); "
+        "jax.block_until_ready(jnp.zeros((), jnp.float32) + 1); print('ok')"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return proc.returncode == 0
+
+
+def main() -> int:
+    if not _probe():
+        print(json.dumps({"metric": "tpu_unavailable", "detail": "probe failed"}))
+        return 0
+
+    from helping_hand_for_egocentric_videos_tpu.cli.common import (
+        setup_compilation_cache,
+    )
+
+    setup_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from helping_hand_for_egocentric_videos_tpu.ops.divided_attention import (
+        divided_patch_attention,
+    )
+
+    b, t, n, d, heads = 8, 16, 256, 1024, 16
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.normal(size=(b, t, n, 3 * d)).astype(np.float32) * 0.2,
+                      jnp.bfloat16)
+    ck, cv, cq = (
+        jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.2, jnp.bfloat16)
+        for _ in range(3)
+    )
+
+    def timed(fn, *args, reps=4):
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0], np.float32)  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0], np.float32)
+        return (time.perf_counter() - t0) / reps
+
+    for mode in ("space", "time"):
+        res = {}
+        for fused in (False, True):
+
+            @jax.jit
+            def chain(x, ck=ck, cv=cv, cq=cq, mode=mode, fused=fused):
+                for _ in range(24):
+                    out, _ = divided_patch_attention(
+                        x, ck, cv, cq, mode=mode, heads=heads, fused_den=fused
+                    )
+                    x = jnp.concatenate([out, out, out], axis=-1)
+                return x
+
+            res["fused" if fused else "plain"] = timed(chain, qkv)
+        print(
+            json.dumps(
+                {
+                    "metric": f"attn24_{mode}_ms",
+                    "plain": round(res["plain"] * 1e3, 2),
+                    "fused": round(res["fused"] * 1e3, 2),
+                    "speedup": round(res["plain"] / res["fused"], 4),
+                }
+            ),
+            flush=True,
+        )
+
+    # ---- full eval forward A/B
+    from dataclasses import replace
+
+    from helping_hand_for_egocentric_videos_tpu.models import (
+        DecoderConfig,
+        decoder_forward,
+        init_decoder_params,
+        init_lavila_params,
+        timesformer_large_config,
+    )
+    from helping_hand_for_egocentric_videos_tpu.models import obj_decoder as dec_mod
+    from helping_hand_for_egocentric_videos_tpu.models.lavila import encode_image
+
+    frames, batch = 16, 16
+    cfg0 = timesformer_large_config(num_frames=frames)
+    dec_cfg = DecoderConfig(num_frames=frames, pred_traj=False)
+    key = jax.random.PRNGKey(0)
+    backbone = init_lavila_params(key, cfg0)
+    decoder = init_decoder_params(key, dec_cfg)
+    video = jnp.asarray(
+        rng.normal(size=(batch, frames, 224, 224, 3)).astype(np.float32)
+    )
+    npp = cfg0.visual.patches_per_frame
+
+    def eval_rate(cfg, bb):
+        @jax.jit
+        def fwd(bb, dec, v):
+            _, fmap = encode_image(bb, cfg, v, use_remat=False, dtype=jnp.bfloat16)
+            grid = fmap[:, 1:, :].reshape(v.shape[0], frames, npp, -1)
+            out = decoder_forward(dec, dec_cfg, grid)
+            return dec_mod.obj_proj(dec, out.hs[-1])[:, -1]
+
+        dt = timed(fwd, bb, decoder, video, reps=5)
+        return batch / dt
+
+    for quant in (False, True):
+        bb = backbone
+        if quant:
+            from helping_hand_for_egocentric_videos_tpu.models.quant import (
+                quantize_lavila_params,
+            )
+
+            bb = quantize_lavila_params(backbone)
+        rates = {}
+        for fused in (False, True):
+            cfg = replace(
+                cfg0, visual=replace(cfg0.visual, fused_den_attention=fused)
+            )
+            rates["fused" if fused else "plain"] = eval_rate(cfg, bb)
+        print(
+            json.dumps(
+                {
+                    "metric": "eval_16f_clips_per_sec"
+                    + ("_int8" if quant else "_bf16"),
+                    "plain": round(rates["plain"], 2),
+                    "fused": round(rates["fused"], 2),
+                    "speedup": round(rates["fused"] / rates["plain"], 4),
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
