@@ -101,3 +101,36 @@ def test_sharded_step_matches_single_device(model_parallel):
     # assertion above is the tight check — adam's step-1 update is
     # scale-invariant, so params alone could hide a mis-scaled psum)
     assert _max_abs_diff(state1.params, state8.params) <= 2.1 * tcfg.lr
+
+
+@require_devices(8)
+def test_sharded_step_with_augmentation_matches_single_device(rng):
+    """Augmentation under sharding: the aug RNG is keyed off the
+    replicated step key (split over the GLOBAL batch axis inside jit),
+    so a batch-sharded step must sample the exact same crops/flips/
+    jitter — and therefore the same loss/grads — as a single-device run
+    of the same global batch."""
+    from dataclasses import replace
+
+    lavila_cfg, dec_cfg, tcfg, backbone, decoder, batch, noun_dict = tiny_setup(
+        n_videos=8
+    )
+    tcfg = replace(tcfg, augment=True, input_res=28, color_jitter=(0.2, 0.2, 0.1))
+    # aug path wants raw uint8 at a larger decode size than input_res=28
+    batch = dict(batch)
+    batch["video"] = jnp.asarray(
+        (rng.random((8, 2, 40, 56, 3)) * 255).astype(np.uint8)
+    )
+    optimizer = make_optimizer(tcfg)
+    state = TrainState(decoder, optimizer.init(decoder), jnp.zeros((), jnp.int32))
+    step_fn = make_train_step(dec_cfg, lavila_cfg, tcfg, optimizer, debug_grads=True)
+
+    state1, m1 = _run_step(step_fn, state, backbone, batch, noun_dict)
+    mesh = make_mesh(jax.devices()[:8], model_parallel=1)
+    state8, m8 = _run_step(step_fn, state, backbone, batch, noun_dict, mesh=mesh)
+
+    loss1, loss8 = float(m1["total_loss"]), float(m8["total_loss"])
+    assert np.isfinite(loss1)
+    assert abs(loss1 - loss8) <= 1e-5 * max(1.0, abs(loss1)), (loss1, loss8)
+    gn = float(m1["grad_norm"])
+    assert _max_abs_diff(m1["grads"], m8["grads"]) <= 1e-5 * max(1.0, gn)
