@@ -236,6 +236,8 @@ def make_train_step(
                 transform_boxes,
             )
 
+            if rng is None:  # callers may omit the key; stay deterministic
+                rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
             aug_key, rng = jax.random.split(rng)
             bj, sj, hj = cfg.color_jitter
             video, aug = random_resized_crop_flip_jitter(
