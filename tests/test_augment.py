@@ -333,3 +333,35 @@ def test_config_tuple_override_and_roundtrip(tmp_path):
     cfg2 = ExperimentConfig.from_json(str(p))
     assert tuple(cfg2.data.randcrop_scale) == (0.4, 0.9)
     assert cfg2.data.augment is True
+
+
+def test_train_step_augment_rng_none(rng):
+    """rng=None callers get a per-step derived key (fold_in on
+    state.step): the augment path runs and stays deterministic."""
+    import sys as _sys
+    from dataclasses import replace
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from test_train_step import tiny_setup
+
+    from helping_hand_for_egocentric_videos_tpu.train import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    lavila_cfg, dec_cfg, tcfg, backbone, decoder, batch, noun_dict = tiny_setup()
+    tcfg = replace(tcfg, augment=True, input_res=28)
+    batch = dict(batch)
+    batch["video"] = jnp.asarray(
+        (rng.random((4, 2, 40, 56, 3)) * 255).astype(np.uint8)
+    )
+    opt = make_optimizer(tcfg)
+    state0 = TrainState(decoder, opt.init(decoder), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(dec_cfg, lavila_cfg, tcfg, opt))
+    _, m1 = step(state0, backbone, batch, noun_dict, None)
+    _, m1b = step(state0, backbone, batch, noun_dict, None)
+    assert np.isfinite(float(m1["total_loss"]))
+    # same state.step -> same derived key -> identical loss
+    assert float(m1["total_loss"]) == float(m1b["total_loss"])
