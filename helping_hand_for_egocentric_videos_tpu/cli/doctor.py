@@ -111,8 +111,9 @@ def collect(timeout: float = 60.0) -> dict:
 
 # The released artifacts the accuracy-parity gate needs (reference
 # README.md:16,47). The LaviLa file name embeds its own md5 prefix
-# (…md5sum_c89337.pth); the Oxford tarballs publish no hash, so we record
-# the sha256 of whatever is found for the PARITY_REPORT provenance trail.
+# (…md5sum_c89337.pth), verified on discovery; the Oxford tarballs
+# publish no hash, so the md5 of whatever is found is recorded for
+# provenance (parity_check separately stamps sha256 into PARITY_REPORT).
 RELEASED_WEIGHTS = [
     {
         "file": "clip_openai_timesformer_large.narrator_rephraser.ep_0003."

@@ -229,6 +229,12 @@ def make_train_step(
     def step(state: TrainState, backbone_params, batch, noun_dict_embeds, rng):
         video = batch["video"]
         boxes = batch["boxes"]
+        if cfg.augment and video.dtype != jnp.uint8:
+            raise ValueError(
+                "augment=True needs raw uint8 video (the aug pipeline crops "
+                f"and normalises on device); got {video.dtype} — feed decoded "
+                "frames, not preprocessed floats"
+            )
         if video.dtype == jnp.uint8 and cfg.augment:
             # fused on-device random aug (transforms.py:64-69 train path)
             from ..ops.preprocess import (

@@ -365,3 +365,28 @@ def test_train_step_augment_rng_none(rng):
     assert np.isfinite(float(m1["total_loss"]))
     # same state.step -> same derived key -> identical loss
     assert float(m1["total_loss"]) == float(m1b["total_loss"])
+
+
+def test_train_step_augment_rejects_float_video(rng):
+    """augment=True with preprocessed float video is a config error, not
+    a silent no-op."""
+    import sys as _sys
+    from dataclasses import replace
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from test_train_step import tiny_setup
+
+    from helping_hand_for_egocentric_videos_tpu.train import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    lavila_cfg, dec_cfg, tcfg, backbone, decoder, batch, noun_dict = tiny_setup()
+    tcfg = replace(tcfg, augment=True, input_res=28)
+    opt = make_optimizer(tcfg)
+    state = TrainState(decoder, opt.init(decoder), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(dec_cfg, lavila_cfg, tcfg, opt))
+    with pytest.raises(ValueError, match="uint8"):
+        step(state, backbone, batch, noun_dict, jax.random.PRNGKey(0))
