@@ -62,7 +62,7 @@ TRAIN = os.environ.get("HH_BENCH_TRAIN", "1") == "1"
 E2E = os.environ.get("HH_BENCH_E2E", "1") == "1"
 
 
-def bench_train_step(int8_backbone: bool = False):
+def bench_train_step(int8_backbone: bool = False, augment: bool = False):
     """Full pretraining step (frozen ViT-L fwd + decoder fwd/bwd + EgoNCE +
     box/word losses + AdamW), 8 videos x 4 frames — the BENCH_NOTES train
     profile, made reproducible (VERDICT r1 item 8).
@@ -89,7 +89,7 @@ def bench_train_step(int8_backbone: bool = False):
     t, n_videos, r = 4, 16, 5
     cfg = timesformer_large_config(num_frames=t)
     dec_cfg = DecoderConfig(num_frames=t)
-    tcfg = TrainConfig()
+    tcfg = TrainConfig(augment=augment, color_jitter=(0.2, 0.2, 0.1) if augment else (0.0, 0.0, 0.0))
     key = jax.random.PRNGKey(0)
     backbone = init_lavila_params(key, cfg)
     if int8_backbone:
@@ -107,10 +107,16 @@ def bench_train_step(int8_backbone: bool = False):
     tokens[:, 0] = 49406
     tokens[:, 1:5] = rng.integers(1, 49000, size=(n_videos * r, 4))
     tokens[:, 5] = 49407
-    batch = {
-        "video": jnp.asarray(
+    if augment:  # aug path consumes raw uint8 at the decode size
+        video = jnp.asarray(
+            rng.integers(0, 256, size=(n_videos, t, 256, 256, 3)).astype(np.uint8)
+        )
+    else:
+        video = jnp.asarray(
             rng.normal(size=(n_videos, t, 224, 224, 3)).astype(np.float32)
-        ),
+        )
+    batch = {
+        "video": video,
         "tokens": jnp.asarray(tokens),
         "noun_vec": jnp.asarray((rng.random((n_videos, 582)) < 0.02).astype(np.float32)),
         "verb_vec": jnp.asarray((rng.random((n_videos, 118)) < 0.05).astype(np.float32)),
@@ -134,7 +140,8 @@ def bench_train_step(int8_backbone: bool = False):
     clips_per_sec = n_videos * STEPS / dt
     line = {
         "metric": "train_clips_per_sec_per_chip_4f"
-        + ("_int8_backbone" if int8_backbone else ""),
+        + ("_int8_backbone" if int8_backbone else "")
+        + ("_augmented" if augment else ""),
         "value": round(clips_per_sec, 3),
         "unit": "clips/s",
         "vs_baseline": None,  # reference publishes no train throughput
@@ -463,6 +470,13 @@ if __name__ == "__main__":
         if INT8:
             _optional(
                 "train_int8", lambda: bench_train_step(int8_backbone=True), reserve=90.0
+            )
+        # HH_BENCH_AUG=1: measure the on-device random-aug train step
+        # (uint8 256^2 in, crop/flip/jitter inside the jit) vs the plain
+        # line above — the aug pipeline's overhead on chip
+        if os.environ.get("HH_BENCH_AUG", "0") == "1":
+            _optional(
+                "train_aug", lambda: bench_train_step(augment=True), reserve=90.0
             )
     if E2E:
         _optional("e2e", bench_e2e, reserve=90.0)

@@ -390,3 +390,23 @@ def test_train_step_augment_rejects_float_video(rng):
     step = jax.jit(make_train_step(dec_cfg, lavila_cfg, tcfg, opt))
     with pytest.raises(ValueError, match="uint8"):
         step(state, backbone, batch, noun_dict, jax.random.PRNGKey(0))
+
+
+def test_crop_sampler_golden_values():
+    """Golden pins for the crop sampler under PRNGKey(42) on a 256x256
+    frame (JAX's threefry PRNG is stable across versions): catches any
+    silent semantic drift in the sampling algorithm — candidate order,
+    rounding, or position quantisation."""
+    f = jax.jit(
+        jax.vmap(
+            lambda k: _sample_resized_crop(k, 256, 256, (0.5, 1.0), (3 / 4, 4 / 3))
+        )
+    )
+    tops, lefts, chs, cws = f(jax.random.split(jax.random.PRNGKey(42), 4))
+    np.testing.assert_array_equal(np.asarray(tops), [19, 24, 2, 7])
+    np.testing.assert_array_equal(np.asarray(lefts), [18, 21, 64, 23])
+    np.testing.assert_array_equal(np.asarray(chs), [206, 222, 224, 195])
+    np.testing.assert_array_equal(np.asarray(cws), [196, 181, 192, 228])
+    # goldens respect the sampler's own contract
+    frac = np.asarray(chs, np.float64) * np.asarray(cws) / (256 * 256)
+    assert (frac > 0.45).all() and (frac < 1.05).all()
