@@ -321,52 +321,49 @@ def random_resized_crop_flip_jitter(
     flips = jax.random.bernoulli(k_flip, flip_prob, (b,))
     x = jnp.where(flips[:, None, None, None, None], x[..., ::-1, :], x)
 
-    if brightness > 0 or saturation > 0 or hue > 0:
-        kb, ks, kh = jax.random.split(k_fac, 3)
-        bf = (
-            jax.random.uniform(
-                kb, (b,), minval=max(0.0, 1.0 - brightness), maxval=1.0 + brightness
-            )
-            if brightness > 0
-            else jnp.ones((b,))
+    # Only statically-enabled jitter ops are traced (a vmapped lax.switch
+    # evaluates every branch, so tracing disabled ops would cost real VPU
+    # passes). With one op enabled the permutation machinery drops out
+    # entirely; with several, the random order is a permutation of the
+    # ENABLED subset — torchvision's randperm-then-skip-disabled gives the
+    # same distribution over enabled-op orders.
+    kb, ks, kh = jax.random.split(k_fac, 3)  # per-op keys, independent of
+    # which ops are enabled, so factor draws are stable across configs
+    enabled = []
+    if brightness > 0:
+        bf = jax.random.uniform(
+            kb, (b,), minval=max(0.0, 1.0 - brightness), maxval=1.0 + brightness
         )
-        sf = (
-            jax.random.uniform(
-                ks, (b,), minval=max(0.0, 1.0 - saturation), maxval=1.0 + saturation
-            )
-            if saturation > 0
-            else jnp.ones((b,))
+        enabled.append((bf.astype(dtype), _adjust_brightness))
+    if saturation > 0:
+        sf = jax.random.uniform(
+            ks, (b,), minval=max(0.0, 1.0 - saturation), maxval=1.0 + saturation
         )
-        hf = (
-            jax.random.uniform(kh, (b,), minval=-hue, maxval=hue)
-            if hue > 0
-            else jnp.zeros((b,))
-        )
-        # torchvision ColorJitter applies the enabled ops in a random
-        # order per call (per clip here)
-        perms = jax.vmap(lambda k: jax.random.permutation(k, 3))(
+        enabled.append((sf.astype(dtype), _adjust_saturation))
+    if hue > 0:
+        hf = jax.random.uniform(kh, (b,), minval=-hue, maxval=hue)
+        enabled.append((hf.astype(dtype), _adjust_hue))
+
+    if len(enabled) == 1:
+        fac, fn = enabled[0]
+        x = fn(x, fac.reshape((b,) + (1,) * (x.ndim - 1)))
+    elif enabled:
+        n_ops = len(enabled)
+        perms = jax.vmap(lambda k: jax.random.permutation(k, n_ops))(
             jax.random.split(k_ord, b)
         )
 
-        def jitter_clip(clip, perm, bfi, sfi, hfi):
+        def jitter_clip(clip, perm, *facs):
             def apply_op(c, op):
-                return (
-                    jax.lax.switch(
-                        op,
-                        [
-                            lambda v: _adjust_brightness(v, bfi),
-                            lambda v: _adjust_saturation(v, sfi),
-                            lambda v: _adjust_hue(v, hfi),
-                        ],
-                        c,
-                    ),
-                    None,
-                )
+                branches = [
+                    (lambda v, i=i: enabled[i][1](v, facs[i])) for i in range(n_ops)
+                ]
+                return jax.lax.switch(op, branches, c), None
 
             out, _ = jax.lax.scan(apply_op, clip, perm)
             return out
 
-        x = jax.vmap(jitter_clip)(x, perms, bf.astype(dtype), sf.astype(dtype), hf.astype(dtype))
+        x = jax.vmap(jitter_clip)(x, perms, *[f for f, _ in enabled])
 
     params = {
         "top": tops,

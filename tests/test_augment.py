@@ -410,3 +410,24 @@ def test_crop_sampler_golden_values():
     # goldens respect the sampler's own contract
     frac = np.asarray(chs, np.float64) * np.asarray(cws) / (256 * 256)
     assert (frac > 0.45).all() and (frac < 1.05).all()
+
+
+def test_jitter_single_op_fast_path(rng):
+    """brightness-only (the only jitter usable upstream, see module
+    comment) takes the no-permutation fast path and matches the direct
+    formula with the same per-clip factors."""
+    v = (rng.random((6, 1, 12, 12, 3)) * 255).astype(np.uint8)
+    out, _ = random_resized_crop_flip_jitter(
+        jax.random.PRNGKey(11), jnp.asarray(v), res=12, brightness=0.4
+    )
+    base, params = random_resized_crop_flip_jitter(
+        jax.random.PRNGKey(11), jnp.asarray(v), res=12
+    )
+    # reconstruct: un-normalise base, scale by the same factor draw, re-norm
+    k_crop, k_flip, k_fac, k_ord = jax.random.split(jax.random.PRNGKey(11), 4)
+    kb, _, _ = jax.random.split(k_fac, 3)
+    bf = np.asarray(jax.random.uniform(kb, (6,), minval=0.6, maxval=1.4))
+    mean, std = np.asarray(LAVILA_MEAN), np.asarray(LAVILA_STD)
+    plain = np.asarray(base) * std + mean
+    want = (np.clip(plain * bf[:, None, None, None, None], 0, 1) - mean) / std
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
