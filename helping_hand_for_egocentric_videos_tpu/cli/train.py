@@ -42,6 +42,13 @@ def parse_args(argv=None):
     )
     p.add_argument("--decoder_ckpt", default="")
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument(
+        "--augment",
+        action="store_true",
+        help="enable the train-time random-aug pipeline (the reference's "
+        "force_centercrop=False, transforms.py:64-69); tune via --set "
+        "data.randcrop_scale=a,b data.color_jitter=b,s,h",
+    )
     p.add_argument("--max_steps", type=int, default=0, help="0 = unlimited")
     p.add_argument("--set", nargs="*", default=[], help="extra a.b=c overrides")
     return p.parse_args(argv)
@@ -54,6 +61,7 @@ def build_config(args) -> ExperimentConfig:
     cfg.data.batch_size = args.batch_size
     cfg.data.num_frames = args.num_frames
     cfg.data.num_workers = args.num_workers
+    cfg.data.augment = args.augment
     cfg.model.backbone = args.backbone
     cfg.model.backbone_ckpt = args.backbone_ckpt
     cfg.model.int8_backbone = args.int8_backbone
