@@ -34,6 +34,7 @@ __all__ = [
     "RoundRobinLoader",
     "collate",
     "prepare_train_batch",
+    "device_prefetch",
 ]
 
 
@@ -238,3 +239,26 @@ class RoundRobinLoader:
 
     def num_samples(self) -> int:
         return sum(getattr(l, "num_samples", lambda: len(l))() for l in self.loaders)
+
+
+def device_prefetch(batches: Iterable, put: Callable, depth: int = 2):
+    """Keep ``depth`` batches already transferred to (sharded) device
+    memory ahead of consumption.
+
+    ``put`` is typically ``lambda b: shard_batch(b, mesh)``. jax transfers
+    are asynchronous, so enqueueing the NEXT batch before the step
+    consumes the current one pipelines host->device DMA under device
+    compute deterministically (the flax ``prefetch_to_device`` pattern) —
+    instead of relying on dispatch-order luck. The reference's CUDA
+    analogue is utils/data_utils.data_prefetcher (stream-overlapped
+    ``.cuda(non_blocking=True)``), unused in its main path.
+    """
+    from collections import deque
+
+    q: deque = deque()
+    for item in batches:
+        q.append(put(item))
+        if len(q) > depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()

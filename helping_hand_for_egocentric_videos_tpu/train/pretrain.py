@@ -20,6 +20,7 @@ import numpy as np
 from ..core.checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from ..core.config import ExperimentConfig
 from ..data import ClipTokenizer, PrefetchLoader, ShardedSampler, prepare_train_batch
+from ..data.loader import device_prefetch
 from ..data.egoclip import EgoClipConfig, EgoClipDataset, load_noun_dict
 from ..models import (
     DecoderConfig,
@@ -202,10 +203,15 @@ def pretrain(
         for epoch in range(cfg.optim.epochs):
             sampler.set_epoch(epoch)
             end = time.time()
-            for batch in loader:
+
+            def put(b):
+                b.pop("text_str", None)
+                return shard_batch(b, mesh)  # uint8 video: device preprocess
+
+            # depth-2 device-side prefetch: the NEXT batch's host->device
+            # DMA runs under the current step's compute (data/loader.py)
+            for batch in device_prefetch(loader, put, depth=2):
                 data_time.update(time.time() - end)
-                batch.pop("text_str", None)
-                batch = shard_batch(batch, mesh)  # uint8 video: preprocess
                 rng, step_rng = jax.random.split(rng)  # is fused in the step
                 if cfg.optim.profile_step and step + 1 == cfg.optim.profile_step:
                     # one-step device trace (SURVEY 5.1: real profiles, not

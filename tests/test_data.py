@@ -873,3 +873,22 @@ def test_pyav_reader_with_api_stub(tmp_path, monkeypatch):
     # read_frames_at routes to the pyav branch (no npy, no cv2)
     out2 = video.read_frames_at(str(tmp_path / "missing.mp4"), [0, 3])
     assert [int(f[0, 0, 0]) for f in out2] == [0, 3]
+
+
+def test_device_prefetch_order_and_depth():
+    """device_prefetch yields every batch exactly once, in order, and
+    keeps at most `depth` transfers in flight ahead of consumption."""
+    from helping_hand_for_egocentric_videos_tpu.data.loader import device_prefetch
+
+    put_log = []
+    out = []
+    gen = device_prefetch(iter(range(7)), lambda b: (put_log.append(b), b)[1], depth=2)
+    for item in gen:
+        out.append(item)
+        # at most depth+1 puts have happened beyond what was consumed
+        assert len(put_log) - len(out) <= 3
+    assert out == list(range(7))
+    assert put_log == list(range(7))
+    # shorter-than-depth iterables drain fully
+    assert list(device_prefetch(iter([42]), lambda b: b, depth=4)) == [42]
+    assert list(device_prefetch(iter([]), lambda b: b)) == []
