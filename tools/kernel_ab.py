@@ -76,6 +76,26 @@ def main() -> int:
         np.asarray(jax.tree.leaves(out)[0], np.float32)
         return (time.perf_counter() - t0) / reps
 
+    # on-chip agreement first: interpret-mode tests can't see real Mosaic
+    # lowering bugs, so refuse to time a miscompiled kernel
+    for mode in ("space", "time"):
+        a, _ = divided_patch_attention(qkv, ck, cv, cq, mode=mode, heads=heads)
+        f, _ = divided_patch_attention(
+            qkv, ck, cv, cq, mode=mode, heads=heads, fused_den=True
+        )
+        d = float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(f, np.float32))))
+        scale_a = float(np.max(np.abs(np.asarray(a, np.float32)))) + 1e-12
+        print(
+            json.dumps(
+                {"metric": f"agreement_{mode}", "max_abs_diff": round(d, 6),
+                 "rel": round(d / scale_a, 6), "ok": d <= 0.05 * scale_a}
+            ),
+            flush=True,
+        )
+        if d > 0.05 * scale_a:
+            print(json.dumps({"metric": "abort", "detail": f"{mode} disagreement"}))
+            return 1
+
     for mode in ("space", "time"):
         res = {}
         for fused in (False, True):
