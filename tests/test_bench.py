@@ -75,3 +75,21 @@ def test_dryrun_never_probes_accelerator_in_process(monkeypatch):
     assert calls["env"]["PALLAS_AXON_POOL_IPS"] == ""
     assert "--xla_force_host_platform_device_count=8" in calls["env"]["XLA_FLAGS"]
     assert calls["timeout"] is not None  # bounded — never an indefinite hang
+
+
+def test_dryrun_subprocess_timeout_raises_structured_error(monkeypatch):
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as g
+    finally:
+        sys.path.remove(REPO)
+
+    def fake_run(cmd, **kw):
+        raise subprocess.TimeoutExpired(cmd, kw.get("timeout", 0), output="partial\n")
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="exceeded"):
+        g.dryrun_multichip(8)
