@@ -23,7 +23,38 @@ import shutil
 import jax
 import numpy as np
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step", "PendingSave"]
+
+
+class PendingSave:
+    """Handle for a ``block=False`` save-behind write.
+
+    ``result()`` joins the background write (re-raising any write error)
+    and returns the checkpoint dir. Saves submitted while another is in
+    flight serialize in submission order on one worker thread.
+    """
+
+    def __init__(self, future, target: str):
+        self._future = future
+        self.target = target
+
+    def result(self, timeout: float | None = None) -> str:
+        return self._future.result(timeout)
+
+    def done(self) -> bool:
+        return self._future.done()
+
+
+_SAVE_POOL = None
+
+
+def _save_pool():
+    global _SAVE_POOL
+    if _SAVE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _SAVE_POOL = ThreadPoolExecutor(max_workers=1, thread_name_prefix="hh-ckpt")
+    return _SAVE_POOL
 
 
 def _ckpt_dir(path: str, step: int) -> str:
@@ -41,25 +72,39 @@ def latest_step(path: str) -> int | None:
     return max(steps) if steps else None
 
 
-def save_checkpoint(path: str, step: int, tree, *, keep: int = 10):
-    """Save an arbitrary pytree (params/opt_state/scalars) at ``step``."""
+def save_checkpoint(path: str, step: int, tree, *, keep: int = 10, block: bool = True):
+    """Save an arbitrary pytree (params/opt_state/scalars) at ``step``.
+
+    ``block=False`` (save-behind): the device->host snapshot pull happens
+    on the calling thread (so the saved state is consistent no matter how
+    the caller mutates it next), then serialization + disk write + keep-k
+    pruning run on a background thread; returns a :class:`PendingSave`.
+    """
     import orbax.checkpoint as ocp
 
     os.makedirs(path, exist_ok=True)
     target = _ckpt_dir(path, step)
-    ckptr = ocp.StandardCheckpointer()
-    tree = jax.tree.map(np.asarray, tree)
-    ckptr.save(os.path.abspath(target), tree, force=True)
-    ckptr.wait_until_finished()
+    # block=False needs a true host COPY (np.asarray is a no-copy view of
+    # host arrays, which the caller may mutate while the write is in
+    # flight); the blocking path keeps the cheaper view
+    tree = jax.tree.map(np.asarray if block else np.array, tree)
 
-    steps = sorted(
-        int(m.group(1))
-        for d in os.listdir(path)
-        if (m := re.match(r"step_(\d+)$", d))
-    )
-    for old in steps[:-keep]:
-        shutil.rmtree(_ckpt_dir(path, old), ignore_errors=True)
-    return target
+    def _write() -> str:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(target), tree, force=True)
+        ckptr.wait_until_finished()
+        steps = sorted(
+            int(m.group(1))
+            for d in os.listdir(path)
+            if (m := re.match(r"step_(\d+)$", d))
+        )
+        for old in steps[:-keep]:
+            shutil.rmtree(_ckpt_dir(path, old), ignore_errors=True)
+        return target
+
+    if block:
+        return _write()
+    return PendingSave(_save_pool().submit(_write), target)
 
 
 def restore_checkpoint(path: str, step: int | None = None, template=None):

@@ -59,6 +59,12 @@ class OptimCfg:
     eval_freq: int = 2500
     runtime_save_iter: int = 2500
     keep_checkpoints: int = 10
+    # save-behind: serialize + write checkpoints on a background thread
+    # so the step loop only pays the device->host snapshot pull. Orbax
+    # writes are atomic (tmp + rename), so a crash mid-write can never
+    # corrupt a step dir — the exposure is at most one save period,
+    # identical to the reference's per-epoch torch.save cadence.
+    async_save: bool = True
     # capture a jax profiler trace (xplane, viewable offline via
     # utils/profiling.top_ops) around this global step; 0 disables
     profile_step: int = 0

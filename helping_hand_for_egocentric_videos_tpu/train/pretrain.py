@@ -199,6 +199,7 @@ def pretrain(
 
     rng = jax.random.PRNGKey(cfg.optim.seed)
     stop = False
+    pending_save = None  # in-flight save-behind write (optim.async_save)
     with mesh:
         for epoch in range(cfg.optim.epochs):
             sampler.set_epoch(epoch)
@@ -237,12 +238,18 @@ def pretrain(
                     progress.display(step % max(len(loader), 1))
 
                 if step % cfg.optim.runtime_save_iter == 0:
-                    save_checkpoint(
+                    if pending_save is not None:
+                        pending_save.result()  # writes serialize in order
+                        pending_save = None
+                    saved = save_checkpoint(
                         ckpt_dir,
                         step,
                         {"state": state, "best_acc": np.float64(best_acc)},
                         keep=cfg.optim.keep_checkpoints,
+                        block=not cfg.optim.async_save,
                     )
+                    if not isinstance(saved, str):
+                        pending_save = saved
 
                 if step % cfg.optim.eval_freq == 0 or (max_steps and step >= max_steps):
                     eval_model = EvalModel(
@@ -270,6 +277,8 @@ def pretrain(
             if stop:
                 break
 
+    if pending_save is not None:
+        pending_save.result()
     logger.close()
     val_logger.close()
     return state, best_acc

@@ -265,6 +265,27 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(restored["a"], tree["a"])
 
 
+def test_checkpoint_save_behind(tmp_path):
+    """block=False: snapshot is immune to caller mutation, writes
+    serialize in order, keep-k pruning still runs, result() returns the
+    step dir (core/checkpoint.py::PendingSave)."""
+    from helping_hand_for_egocentric_videos_tpu.core.checkpoint import PendingSave
+
+    tree = {"a": np.zeros((2, 3), np.float32), "b": np.float64(1.5)}
+    p1 = save_checkpoint(str(tmp_path), 1, tree, keep=2, block=False)
+    assert isinstance(p1, PendingSave)
+    tree["a"] += 100  # mutate AFTER submission; step-1 snapshot unaffected
+    p2 = save_checkpoint(str(tmp_path), 2, tree, keep=2, block=False)
+    p3 = save_checkpoint(str(tmp_path), 3, tree, keep=2, block=False)
+    assert p1.result().endswith("step_00000001")
+    for p in (p2, p3):
+        p.result()
+    assert latest_step(str(tmp_path)) == 3
+    assert not os.path.exists(tmp_path / "step_00000001")  # pruned by keep=2
+    r2, _ = restore_checkpoint(str(tmp_path), 2, template=tree)
+    np.testing.assert_array_equal(r2["a"], np.full((2, 3), 100, np.float32))
+
+
 def test_config_overrides():
     cfg = ExperimentConfig()
     apply_overrides(cfg, ["data.batch_size=64", "optim.lr=0.001", "name=x", "model.pred_traj=false"])
