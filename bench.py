@@ -352,68 +352,68 @@ def main(quantize: bool):
 
 
 def _probe_devices(timeout: float):
-    """Bounded device-liveness probe, run in a SUBPROCESS.
-
-    A dead axon tunnel blocks ``jax.devices()`` (and any dispatch) forever
-    in-process — no in-process call is safe until a subprocess has proven
-    the backend answers. Returns {"platform","device_kind","n"} or None.
-    """
-    import subprocess
-    import sys
-
-    code = (
-        "import jax, jax.numpy as jnp, json; d = jax.devices(); "
-        "jax.block_until_ready(jnp.zeros((), jnp.float32) + 1); "
-        "print(json.dumps({'platform': d[0].platform, "
-        "'device_kind': getattr(d[0], 'device_kind', '?'), 'n': len(d)}))"
+    """Delegates to the shared subprocess probe (cli/common.py)."""
+    from helping_hand_for_egocentric_videos_tpu.cli.common import (
+        bounded_device_probe,
     )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True,
-            text=True,
-            timeout=timeout,
-        )
-    except subprocess.TimeoutExpired:
-        return None
-    if proc.returncode != 0 or not proc.stdout.strip():
-        return None
-    try:
-        return json.loads(proc.stdout.strip().splitlines()[-1])
-    except (ValueError, IndexError):
-        return None
+
+    return bounded_device_probe(timeout)
 
 
-def _arm_watchdog(deadline: float) -> None:
+_LAST_PROGRESS = time.monotonic()
+
+
+def _progress() -> None:
+    """Mark liveness for the watchdog: a stage just completed."""
+    global _LAST_PROGRESS
+    _LAST_PROGRESS = time.monotonic()
+
+
+def _arm_watchdog(deadline: float, stall: float) -> None:
     """Hard-exit with a structured final JSON line if the run wedges.
 
     The tunnel can die MID-run (observed r3: every device call then blocks
     in an uninterruptible retry loop). The driver parses the final JSON
     line, so a wedge must become a parseable line + rc=0, never rc=124.
+
+    Fires only when BOTH hold: the hard deadline has passed AND no stage
+    has completed within the last ``stall`` seconds — a healthy run can
+    legitimately be silent for ~10 min through one cold remote compile,
+    while a wedged tunnel is silent for hours. Distinguishing the two by
+    silence length (not a device probe) matters because a TPU is held
+    exclusively by this process: a mid-run probe subprocess would fail
+    even on a healthy backend.
     """
     import threading
 
-    def _fire():
-        print(
-            json.dumps(
-                {
-                    "metric": "tpu_stalled_midrun",
-                    "value": 0.0,
-                    "unit": "clips/s",
-                    "vs_baseline": None,
-                    "detail": (
-                        f"hard deadline {deadline:.0f}s hit mid-run; the "
-                        "device backend likely wedged (see cli/doctor.py)"
-                    ),
-                }
-            ),
-            flush=True,
-        )
-        os._exit(0)
+    t0 = time.monotonic()
 
-    timer = threading.Timer(deadline, _fire)
-    timer.daemon = True
-    timer.start()
+    def _watch():
+        while True:
+            time.sleep(30)
+            now = time.monotonic()
+            if now - t0 < deadline or now - _LAST_PROGRESS < stall:
+                continue
+            print(
+                json.dumps(
+                    {
+                        "metric": "tpu_stalled_midrun",
+                        "value": 0.0,
+                        "unit": "clips/s",
+                        "vs_baseline": None,
+                        "detail": (
+                            f"hard deadline {deadline:.0f}s passed and no "
+                            f"stage completed for {stall:.0f}s; the device "
+                            "backend likely wedged (see cli/doctor.py)"
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(0)
+
+    th = threading.Thread(target=_watch, daemon=True)
+    th.start()
 
 
 if __name__ == "__main__":
@@ -442,7 +442,10 @@ if __name__ == "__main__":
         )
         raise SystemExit(0)
 
-    _arm_watchdog(_budget + float(os.environ.get("HH_BENCH_GRACE", "480")))
+    _arm_watchdog(
+        _budget + float(os.environ.get("HH_BENCH_GRACE", "480")),
+        stall=float(os.environ.get("HH_BENCH_STALL", "1500")),
+    )
 
     from helping_hand_for_egocentric_videos_tpu.cli.common import setup_compilation_cache
 
@@ -463,6 +466,8 @@ if __name__ == "__main__":
                 json.dumps({"metric": f"{stage}_error", "error": str(e)[:300]}),
                 flush=True,
             )
+        finally:
+            _progress()
 
     print(json.dumps({"metric": "device_probe", **_probe}), flush=True)
     if TRAIN:
@@ -484,4 +489,21 @@ if __name__ == "__main__":
     # the headline and the unconditional number must headline (VERDICT r3)
     if INT8:
         _optional("eval_int8", lambda: main(quantize=True), reserve=60.0)
-    main(quantize=False)
+    # the headline is NOT budget-skippable, but it must still honor the
+    # contract that every exit path prints a parseable final line + rc=0
+    try:
+        main(quantize=False)
+    except Exception as e:  # noqa: BLE001
+        print(
+            json.dumps(
+                {
+                    "metric": "eval_bf16_error",
+                    "value": 0.0,
+                    "unit": "clips/s",
+                    "vs_baseline": None,
+                    "error": str(e)[:300],
+                }
+            ),
+            flush=True,
+        )
+    raise SystemExit(0)

@@ -24,6 +24,46 @@ def setup_compilation_cache(path: str | None = None):
         pass  # older jax without the knobs
 
 
+def bounded_device_probe(timeout: float | None = None) -> dict | None:
+    """Bounded device-liveness probe, run in a SUBPROCESS.
+
+    A dead device tunnel blocks ``jax.devices()`` (and any dispatch)
+    forever in-process — no in-process device call is safe until a
+    subprocess has proven the backend answers (r3 VERDICT; the axon
+    client retries in an uninterruptible sleep loop). Shared by
+    ``bench.py``, ``tools/kernel_ab.py`` and anything else that must
+    stay wedge-proof. ``timeout`` defaults to $HH_BENCH_PROBE_TIMEOUT
+    (120 s). Returns ``{"platform", "device_kind", "n"}`` or None.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if timeout is None:
+        timeout = float(os.environ.get("HH_BENCH_PROBE_TIMEOUT", "120"))
+    code = (
+        "import jax, jax.numpy as jnp, json; d = jax.devices(); "
+        "jax.block_until_ready(jnp.zeros((), jnp.float32) + 1); "
+        "print(json.dumps({'platform': d[0].platform, "
+        "'device_kind': getattr(d[0], 'device_kind', '?'), 'n': len(d)}))"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if proc.returncode != 0 or not proc.stdout.strip():
+        return None
+    try:
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return None
+
+
 def maybe_init_distributed():
     """Initialize jax.distributed on multi-host pods.
 

@@ -152,23 +152,47 @@ def _weight_search_dirs() -> list[str]:
     ]
 
 
+def _md5_cached(path: str) -> str:
+    """md5 of a (possibly multi-GB) file, memoized by (size, mtime) in a
+    sidecar next to the compile cache so repeat doctor runs stay fast."""
+    import hashlib
+
+    st = os.stat(path)
+    key = f"{os.path.abspath(path)}:{st.st_size}:{int(st.st_mtime)}"
+    cache_path = os.path.expanduser("~/.cache/hh_tpu_xla/doctor_md5.json")
+    cache: dict = {}
+    try:
+        with open(cache_path) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        pass
+    if key in cache:
+        return cache[key]
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    cache[key] = h.hexdigest()
+    try:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        with open(cache_path, "w") as f:
+            json.dump(cache, f)
+    except OSError:
+        pass
+    return cache[key]
+
+
 def released_weights_report() -> dict:
     """Machine-readable precondition for the real-weight parity gate
     (cli/parity_check.py): which released checkpoints are present, where
     the framework looked, and the one command to run once they exist."""
-    import hashlib
-
     dirs = _weight_search_dirs()
     found: dict[str, dict] = {}
     for spec in RELEASED_WEIGHTS:
         for d in dirs:
             path = os.path.join(d, spec["file"])
             if os.path.isfile(path):
-                h = hashlib.md5()
-                with open(path, "rb") as f:
-                    for chunk in iter(lambda: f.read(1 << 20), b""):
-                        h.update(chunk)
-                md5 = h.hexdigest()
+                md5 = _md5_cached(path)
                 entry = {
                     "path": path,
                     "bytes": os.path.getsize(path),

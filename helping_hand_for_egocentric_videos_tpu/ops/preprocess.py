@@ -345,8 +345,11 @@ def random_resized_crop_flip_jitter(
         enabled.append((hf.astype(dtype), _adjust_hue))
 
     if len(enabled) == 1:
+        # same per-clip (scalar-factor) contract as the multi-op path:
+        # channel-stripping ops like _adjust_hue break under a
+        # (B,1,1,1,1) factor (extra batch axis via broadcast)
         fac, fn = enabled[0]
-        x = fn(x, fac.reshape((b,) + (1,) * (x.ndim - 1)))
+        x = jax.vmap(fn)(x, fac)
     elif enabled:
         n_ops = len(enabled)
         perms = jax.vmap(lambda k: jax.random.permutation(k, n_ops))(

@@ -412,6 +412,29 @@ def test_crop_sampler_golden_values():
     assert (frac > 0.45).all() and (frac < 1.05).all()
 
 
+def test_jitter_hue_only_shape_and_match(rng):
+    """hue-only single-op fast path: regression for the broadcast bug
+    where a (B,1,1,1,1) factor fed _adjust_hue's channel-stripped
+    intermediates and produced a (B, B, T, H, W, C) output."""
+    v = (rng.random((3, 2, 12, 12, 3)) * 255).astype(np.uint8)
+    out, _ = random_resized_crop_flip_jitter(
+        jax.random.PRNGKey(7), jnp.asarray(v), res=12, hue=0.1
+    )
+    assert out.shape == (3, 2, 12, 12, 3)
+    # and it matches per-clip _adjust_hue with the same factor draws
+    base, _ = random_resized_crop_flip_jitter(
+        jax.random.PRNGKey(7), jnp.asarray(v), res=12
+    )
+    _, _, k_fac, _ = jax.random.split(jax.random.PRNGKey(7), 4)
+    _, _, kh = jax.random.split(k_fac, 3)
+    hf = jax.random.uniform(kh, (3,), minval=-0.1, maxval=0.1)
+    mean, std = np.asarray(LAVILA_MEAN), np.asarray(LAVILA_STD)
+    plain = jnp.asarray(np.asarray(base, np.float32) * std + mean)
+    want = jax.vmap(_adjust_hue)(plain.astype(jnp.float32), hf.astype(jnp.float32))
+    want = (np.asarray(want) - mean) / std
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
+
+
 def test_jitter_single_op_fast_path(rng):
     """brightness-only (the only jitter usable upstream, see module
     comment) takes the no-permutation fast path and matches the direct

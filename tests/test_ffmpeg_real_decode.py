@@ -102,6 +102,16 @@ def test_pipe_fps_resample(real_shim, mp4):
     assert ids == list(range(0, 20, 2))
 
 
+def test_pipe_seek_drops_frames_before_ss(real_shim, mp4):
+    """-ss is an accurate seek: the first kept frame has pts >= S
+    (genuine-ffmpeg semantics). ss=0.51 @30fps must start at frame 16 —
+    round(0.51*30)=15 would keep a frame from before S."""
+    from helping_hand_for_egocentric_videos_tpu.data import native
+
+    frames = native.decode_clip_ffmpeg(mp4, 0.51, 0.5, FPS, W, H, 10)
+    assert _decode_idx(frames[0]) == 16
+
+
 def test_pipe_max_frames_truncation(real_shim, mp4):
     """Reader pcloses after max_frames; the shim must exit 0 on the
     broken pipe and the C side must return exactly max_frames."""

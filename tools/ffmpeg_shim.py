@@ -107,7 +107,11 @@ def run(argv: list[str]) -> int:
         _die(f"cannot open {opt['input']!r}", 1)
     fps_in = cap.get(cv2.CAP_PROP_FPS) or 30.0
     fps_out = opt["fps"] or fps_in
-    start = int(round(opt["ss"] * fps_in))
+    # accurate-seek semantics: the first kept frame is the first with
+    # pts >= S (ffmpeg drops frames strictly before S), i.e. ceil(S*fps)
+    import math
+
+    start = math.ceil(opt["ss"] * fps_in - 1e-6)
     if start:
         cap.set(cv2.CAP_PROP_POS_FRAMES, start)
     # decode the [ss, ss+t) window (all of it: clip requests are seconds

@@ -18,32 +18,22 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _probe(timeout: float = 120.0) -> bool:
-    code = (
-        "import jax, jax.numpy as jnp; jax.devices(); "
-        "jax.block_until_ready(jnp.zeros((), jnp.float32) + 1); print('ok')"
-    )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=timeout,
-        )
-    except subprocess.TimeoutExpired:
-        return False
-    return proc.returncode == 0
-
-
 def main() -> int:
-    if not _probe():
+    from helping_hand_for_egocentric_videos_tpu.cli.common import (
+        bounded_device_probe,
+    )
+
+    probe = bounded_device_probe()
+    if probe is None:
         print(json.dumps({"metric": "tpu_unavailable", "detail": "probe failed"}))
         return 0
+    print(json.dumps({"metric": "device_probe", **probe}), flush=True)
 
     from helping_hand_for_egocentric_videos_tpu.cli.common import (
         setup_compilation_cache,
@@ -83,16 +73,16 @@ def main() -> int:
         f, _ = divided_patch_attention(
             qkv, ck, cv, cq, mode=mode, heads=heads, fused_den=True
         )
-        d = float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(f, np.float32))))
+        diff = float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(f, np.float32))))
         scale_a = float(np.max(np.abs(np.asarray(a, np.float32)))) + 1e-12
         print(
             json.dumps(
-                {"metric": f"agreement_{mode}", "max_abs_diff": round(d, 6),
-                 "rel": round(d / scale_a, 6), "ok": d <= 0.05 * scale_a}
+                {"metric": f"agreement_{mode}", "max_abs_diff": round(diff, 6),
+                 "rel": round(diff / scale_a, 6), "ok": diff <= 0.05 * scale_a}
             ),
             flush=True,
         )
-        if d > 0.05 * scale_a:
+        if diff > 0.05 * scale_a:
             print(json.dumps({"metric": "abort", "detail": f"{mode} disagreement"}))
             return 1
 
