@@ -58,6 +58,12 @@ class OptimCfg:
     seed: int = 111
     eval_freq: int = 2500
     runtime_save_iter: int = 2500
+    # "constant" (the reference's actual behavior: its warmup_epochs knob
+    # is computed but never consumed, run/train.py:549) or
+    # "warmup_cosine" (linear warmup then cosine decay to 0 over the full
+    # run). warmup_epochs <= 0 uses the reference's own epochs/20 formula.
+    schedule: str = "constant"
+    warmup_epochs: float = 0.0
     keep_checkpoints: int = 10
     # save-behind: serialize + write checkpoints on a background thread
     # so the step loop only pays the device->host snapshot pull. Orbax

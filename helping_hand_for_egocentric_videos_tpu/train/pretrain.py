@@ -10,6 +10,7 @@ Everything device-side lives in train/step.py; this module is host glue.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 
@@ -135,20 +136,6 @@ def pretrain(
     mesh = make_mesh(devices, model_parallel=cfg.parallel.model_parallel)
     backbone = jax.device_put(backbone, replicated(mesh))
 
-    optimizer = make_optimizer(tcfg)
-    state = TrainState(decoder, optimizer.init(decoder), jnp.zeros((), jnp.int32))
-    state = jax.device_put(state, replicated(mesh))
-    best_acc = 0.0
-
-    ckpt_dir = os.path.join(exp_dir, "checkpoints")
-    if latest_step(ckpt_dir) is not None:
-        restored, step0 = restore_checkpoint(
-            ckpt_dir, template={"state": state, "best_acc": np.float64(0.0)}
-        )
-        state = jax.device_put(restored["state"], replicated(mesh))
-        best_acc = float(restored["best_acc"])
-        print(f"resumed from step {step0} (best_acc={best_acc:.3f})")
-
     tokenizer = ClipTokenizer()
     train_ds = EgoClipDataset(
         EgoClipConfig(
@@ -188,6 +175,34 @@ def pretrain(
         num_threads=cfg.data.num_workers,
         transform=lambda b: prepare_train_batch(b, tokenizer),
     )
+
+    if cfg.optim.schedule != "constant":
+        # epoch-denominated schedule knobs -> steps, now that the
+        # per-host step count is known
+        spe = max(len(sampler), 1)
+        warm = cfg.optim.warmup_epochs
+        if warm <= 0:
+            warm = cfg.optim.epochs / 20  # the reference's own formula
+        tcfg = dataclasses.replace(
+            tcfg,
+            schedule=cfg.optim.schedule,
+            warmup_steps=int(warm * spe),
+            total_steps=max(cfg.optim.epochs * spe, 1),
+        )
+
+    optimizer = make_optimizer(tcfg)
+    state = TrainState(decoder, optimizer.init(decoder), jnp.zeros((), jnp.int32))
+    state = jax.device_put(state, replicated(mesh))
+    best_acc = 0.0
+
+    ckpt_dir = os.path.join(exp_dir, "checkpoints")
+    if latest_step(ckpt_dir) is not None:
+        restored, step0 = restore_checkpoint(
+            ckpt_dir, template={"state": state, "best_acc": np.float64(0.0)}
+        )
+        state = jax.device_put(restored["state"], replicated(mesh))
+        best_acc = float(restored["best_acc"])
+        print(f"resumed from step {step0} (best_acc={best_acc:.3f})")
 
     step_fn = jax.jit(make_train_step(dec_cfg, lavila_cfg, tcfg, optimizer), donate_argnums=(0,))
 

@@ -58,6 +58,14 @@ class TrainConfig:
     augment: bool = False
     randcrop_scale: tuple = (0.5, 1.0)
     color_jitter: tuple = (0.0, 0.0, 0.0)  # brightness, saturation, hue
+    # LR schedule. The reference computes warmup_epochs = epochs/20 but
+    # never consumes it (run/train.py:549 — a dead knob; its LR is the
+    # constant 3e-5). "constant" preserves that parity; "warmup_cosine"
+    # implements the implied schedule: linear warmup over warmup_steps,
+    # then cosine decay to 0 at total_steps.
+    schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: int = 0
 
 
 class TrainState(NamedTuple):
@@ -95,7 +103,20 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
         return jax.tree_util.tree_map_with_path(rule, params)
 
-    opt = optax.adamw(cfg.lr, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.wd, mask=decay_mask)
+    if cfg.schedule == "warmup_cosine":
+        if cfg.total_steps <= 0:
+            raise ValueError("schedule='warmup_cosine' needs total_steps > 0")
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.lr,
+            warmup_steps=max(cfg.warmup_steps, 1),
+            decay_steps=cfg.total_steps,
+        )
+    elif cfg.schedule == "constant":
+        lr = cfg.lr
+    else:
+        raise ValueError(f"unknown schedule {cfg.schedule!r}")
+    opt = optax.adamw(lr, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.wd, mask=decay_mask)
     if cfg.clip_grad > 0:
         opt = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), opt)
 

@@ -100,6 +100,36 @@ def test_train_step_loss_decreases():
     assert int(state.step) == 8
 
 
+def test_warmup_cosine_schedule_update_magnitudes():
+    """schedule='warmup_cosine': LR ramps 0 -> lr over warmup_steps then
+    cosine-decays to 0 at total_steps (the reference computes
+    warmup_epochs=epochs/20 but never consumes it, run/train.py:549 —
+    constant stays the parity default). With a constant unit gradient,
+    AdamW's update magnitude tracks the LR, so probe it at the ends."""
+    import pytest
+
+    from helping_hand_for_egocentric_videos_tpu.train.step import TrainConfig
+
+    cfg = TrainConfig(lr=1e-2, wd=0.0, schedule="warmup_cosine", warmup_steps=10, total_steps=100)
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.ones((4,))}
+    opt_state = opt.init(params)
+    grads = {"w": jnp.ones((4,))}
+    mags = []
+    for _ in range(100):
+        updates, opt_state = opt.update(grads, opt_state, params)
+        mags.append(float(jnp.abs(updates["w"]).max()))
+    assert mags[0] < 1e-3  # warmup starts at 0
+    assert abs(mags[10] - 1e-2) / 1e-2 < 0.05  # peak ~ lr at end of warmup
+    assert mags[-1] < 2e-4  # cosine tail -> ~0
+    assert max(mags) == pytest.approx(mags[10], rel=0.05)
+    # misconfiguration is rejected, constant ignores the step knobs
+    with pytest.raises(ValueError):
+        make_optimizer(TrainConfig(schedule="warmup_cosine"))
+    with pytest.raises(ValueError):
+        make_optimizer(TrainConfig(schedule="nope"))
+
+
 def test_gradients_do_not_touch_backbone():
     # the loss function only takes decoder params; this asserts the
     # optimizer state tree matches the decoder tree (backbone frozen by
