@@ -369,6 +369,15 @@ def _progress() -> None:
     _LAST_PROGRESS = time.monotonic()
 
 
+def _watchdog_should_fire(
+    now: float, t0: float, last_progress: float, deadline: float, stall: float
+) -> bool:
+    """Pure predicate for the mid-run watchdog: fire only when the hard
+    deadline has passed AND no stage completed within the last ``stall``
+    seconds (see _arm_watchdog docstring for why both are required)."""
+    return now - t0 >= deadline and now - last_progress >= stall
+
+
 def _arm_watchdog(deadline: float, stall: float) -> None:
     """Hard-exit with a structured final JSON line if the run wedges.
 
@@ -391,8 +400,9 @@ def _arm_watchdog(deadline: float, stall: float) -> None:
     def _watch():
         while True:
             time.sleep(30)
-            now = time.monotonic()
-            if now - t0 < deadline or now - _LAST_PROGRESS < stall:
+            if not _watchdog_should_fire(
+                time.monotonic(), t0, _LAST_PROGRESS, deadline, stall
+            ):
                 continue
             print(
                 json.dumps(

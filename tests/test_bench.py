@@ -45,6 +45,25 @@ def test_bench_dead_backend_prints_structured_line_and_exits_zero():
     assert last["value"] == 0.0
 
 
+def test_watchdog_predicate_requires_deadline_and_stall():
+    """The mid-run watchdog fires only on deadline AND silence: a healthy
+    run that keeps completing stages past the deadline is left alone, and
+    early silence (one long cold compile) is tolerated before the
+    deadline."""
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.remove(REPO)
+    fire = bench._watchdog_should_fire
+    # before the deadline: never fires, however long the silence
+    assert not fire(now=100.0, t0=0.0, last_progress=0.0, deadline=200.0, stall=50.0)
+    # past the deadline but a stage completed recently: keep waiting
+    assert not fire(now=300.0, t0=0.0, last_progress=290.0, deadline=200.0, stall=50.0)
+    # past the deadline and silent past the stall window: fire
+    assert fire(now=300.0, t0=0.0, last_progress=200.0, deadline=200.0, stall=50.0)
+
+
 def test_dryrun_never_probes_accelerator_in_process(monkeypatch):
     """With any non-cpu JAX_PLATFORMS, dryrun_multichip must go straight to
     the CPU subprocess — no jax.devices() call in-process (it can hang)."""
