@@ -12,9 +12,9 @@ decode of real containers; only the CLI front-end is emulated. Any
 argument outside the supported subset is an error (exit 2), so the
 emulator never silently accepts a command line it does not implement.
 
-Usage:
-    python tools/ffmpeg_shim.py <ffmpeg args>     # act as ffmpeg
-    python tools/ffmpeg_shim.py --install DIR     # write DIR/ffmpeg wrapper
+Usage (installed package or repo checkout):
+    python -m helping_hand_for_egocentric_videos_tpu.data.ffmpeg_shim <ffmpeg args>
+    python -m helping_hand_for_egocentric_videos_tpu.data.ffmpeg_shim --install DIR
 
 ``--install`` writes an executable ``ffmpeg`` shell wrapper into DIR;
 putting DIR on PATH makes `data.native.has_ffmpeg()` true and routes the

@@ -2,7 +2,7 @@
 
 tests/test_ffmpeg_path.py validates the pipe's CLI surface with a fake
 constant-frame ``ffmpeg``; this file closes the remaining gap by putting
-a *real-decode* ``ffmpeg`` on PATH (tools/ffmpeg_shim.py — cv2's bundled
+a *real-decode* ``ffmpeg`` on PATH (data/ffmpeg_shim.py — cv2's bundled
 FFmpeg does the codec work, only the CLI front-end is emulated) and
 running the production C++ popen/rawvideo path (native/hh_dataio.cpp:
 167-187, the decord replacement for base/base_dataset.py:274-323) end to
@@ -32,12 +32,14 @@ from test_real_mp4 import (  # noqa: E402
     _write_chunk,
 )
 
-TOOL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools", "ffmpeg_shim.py")
+from helping_hand_for_egocentric_videos_tpu.data import ffmpeg_shim as _shim_mod  # noqa: E402
+
+TOOL = _shim_mod.__file__
 
 
 @pytest.fixture()
 def real_shim(tmp_path, monkeypatch):
-    """Install tools/ffmpeg_shim.py as ``ffmpeg`` at the front of PATH."""
+    """Install data/ffmpeg_shim.py as ``ffmpeg`` at the front of PATH."""
     out = subprocess.run(
         [sys.executable, TOOL, "--install", str(tmp_path / "bin")],
         capture_output=True,
