@@ -132,8 +132,16 @@ def egomcq_accuracy_by_type(
 def egomcq_accuracy_metrics(
     preds: np.ndarray, labels: np.ndarray, types: np.ndarray
 ) -> dict:
-    """Reference-parity output: sorted types zipped with the group names
-    ["Intra-video", "Inter-video"] (model/metric.py:209-225)."""
+    """Reference-parity output (model/metric.py:209-225): the reference
+    zips sorted unique types with ["Intra-video", "Inter-video"], which
+    — given the data's actual encoding (1 = inter, 2 = intra,
+    data/egoclip.py) — reports the two groups under swapped names. We
+    replicate that misnaming as a FIXED mapping {1: "Intra-video",
+    2: "Inter-video"}: identical output whenever both types are present,
+    but stable when a subset (e.g. a limited online eval) contains only
+    one type — the reference's positional zip would then label type 2
+    "Intra-video" and the best-model criterion res["Inter-video"] would
+    silently read 0. Unknown ids become "type<t>"."""
     by_type = egomcq_accuracy_by_type(preds, labels, types)
-    group_list = ["Intra-video", "Inter-video"]
-    return {g: by_type[t] for t, g in zip(sorted(by_type), group_list)}
+    names = {1: "Intra-video", 2: "Inter-video"}
+    return {names.get(t, f"type{t}"): acc for t, acc in sorted(by_type.items())}

@@ -69,6 +69,12 @@ def make_server(engine: ServingEngine, host: str = "127.0.0.1", port: int = 8471
             try:
                 if url.path == "/embed_text":
                     texts = json.loads(self._body())["texts"]
+                    if isinstance(texts, str) or not all(
+                        isinstance(t, str) for t in texts
+                    ):
+                        # a bare string would iterate character-by-character
+                        # into len(s) nonsense embeddings — reject, not 200
+                        raise ValueError("'texts' must be a list of strings")
                     emb = engine.submit_text(texts)
                     self._json(200, {"embeddings": emb.tolist()})
                 elif url.path == "/embed_video":
@@ -88,5 +94,8 @@ def make_server(engine: ServingEngine, host: str = "127.0.0.1", port: int = 8471
                     self._json(404, {"error": f"no route {url.path}"})
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — engine/device failures:
+                # clients must see a structured 500, not a dropped socket
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     return ThreadingHTTPServer((host, port), Handler)

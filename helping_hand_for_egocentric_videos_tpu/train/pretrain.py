@@ -96,6 +96,28 @@ def build_models(cfg: ExperimentConfig, rng_seed: int = 0):
     return lavila_cfg, backbone, dec_cfg, decoder
 
 
+def build_train_config(cfg: ExperimentConfig) -> TrainConfig:
+    """ExperimentConfig -> the jit-static TrainConfig of the step fn.
+
+    ``resize`` (the pixel normalizer of the box losses, run/train.py's
+    args.resize) must track ``data.input_res``: the dataset scales box
+    targets to input_res coordinates (data/egoclip.py::_scale_boxes), so
+    a fixed 224 would skew Hungarian matching at other resolutions."""
+    return TrainConfig(
+        lr=cfg.optim.lr,
+        wd=cfg.optim.wd,
+        num_queries=cfg.model.num_queries,
+        input_res=cfg.data.input_res,
+        resize=float(cfg.data.input_res),
+        backbone_dtype=jnp.bfloat16
+        if cfg.parallel.backbone_dtype == "bfloat16"
+        else jnp.float32,
+        augment=cfg.data.augment,
+        randcrop_scale=tuple(cfg.data.randcrop_scale),
+        color_jitter=tuple(cfg.data.color_jitter),
+    )
+
+
 def pretrain(
     cfg: ExperimentConfig,
     *,
@@ -117,18 +139,7 @@ def pretrain(
     if models is None:
         models = build_models(cfg, cfg.optim.seed)
     lavila_cfg, backbone, dec_cfg, decoder = models
-    tcfg = TrainConfig(
-        lr=cfg.optim.lr,
-        wd=cfg.optim.wd,
-        num_queries=cfg.model.num_queries,
-        input_res=cfg.data.input_res,
-        backbone_dtype=jnp.bfloat16
-        if cfg.parallel.backbone_dtype == "bfloat16"
-        else jnp.float32,
-        augment=cfg.data.augment,
-        randcrop_scale=tuple(cfg.data.randcrop_scale),
-        color_jitter=tuple(cfg.data.color_jitter),
-    )
+    tcfg = build_train_config(cfg)
 
     devices = jax.devices()
     if cfg.parallel.num_devices:
@@ -215,8 +226,25 @@ def pretrain(
     rng = jax.random.PRNGKey(cfg.optim.seed)
     stop = False
     pending_save = None  # in-flight save-behind write (optim.async_save)
+    # one EvalModel for the whole run: its jitted closures take params as
+    # ARGUMENTS, so swapping decoder_params per eval reuses the compiled
+    # programs — rebuilding it each eval would recompile the full
+    # backbone+decoder forward every eval_freq steps
+    eval_model = EvalModel(
+        backbone_params=backbone,
+        lavila_cfg=lavila_cfg,
+        decoder_params=state.params,
+        dec_cfg=dec_cfg,
+        tokenizer=tokenizer,
+        input_res=cfg.data.input_res,
+    )
+    # epoch-granular resume, like the reference's checkpoint['epoch']
+    # (run/train.py:523-546): restart at the epoch of the restored step
+    # (a partial epoch replays from its start; the step counter and
+    # save/eval cadence continue from the restored value)
+    start_epoch = min(step // max(len(sampler), 1), cfg.optim.epochs)
     with mesh:
-        for epoch in range(cfg.optim.epochs):
+        for epoch in range(start_epoch, cfg.optim.epochs):
             sampler.set_epoch(epoch)
             end = time.time()
 
@@ -267,14 +295,7 @@ def pretrain(
                         pending_save = saved
 
                 if step % cfg.optim.eval_freq == 0 or (max_steps and step >= max_steps):
-                    eval_model = EvalModel(
-                        backbone_params=backbone,
-                        lavila_cfg=lavila_cfg,
-                        decoder_params=state.params,
-                        dec_cfg=dec_cfg,
-                        tokenizer=tokenizer,
-                        input_res=cfg.data.input_res,
-                    )
+                    eval_model.decoder_params = state.params
                     res = run_egomcq(eval_model, val_ds, limit=eval_limit or 1000)
                     val_logger.log(step, {k: v for k, v in res.items()}, prefix="egomcq/")
                     inter = res.get("Inter-video", 0.0)

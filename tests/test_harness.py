@@ -286,6 +286,20 @@ def test_checkpoint_save_behind(tmp_path):
     np.testing.assert_array_equal(r2["a"], np.full((2, 3), 100, np.float32))
 
 
+def test_build_train_config_resize_tracks_input_res():
+    """The box-loss pixel normalizer must follow data.input_res: the
+    dataset scales box targets to input_res coords, so a fixed 224 would
+    skew Hungarian matching at other resolutions."""
+    from helping_hand_for_egocentric_videos_tpu.train.pretrain import (
+        build_train_config,
+    )
+
+    cfg = ExperimentConfig()
+    apply_overrides(cfg, ["data.input_res=336"])
+    tcfg = build_train_config(cfg)
+    assert tcfg.input_res == 336 and tcfg.resize == 336.0
+
+
 def test_config_overrides():
     cfg = ExperimentConfig()
     apply_overrides(cfg, ["data.batch_size=64", "optim.lr=0.001", "name=x", "model.pred_traj=false"])

@@ -98,6 +98,22 @@ def test_egomcq_accuracy():
     assert named["Intra-video"] == 50.0 and named["Inter-video"] == 100.0
 
 
+def test_egomcq_accuracy_single_type_subset_labels_stably():
+    """A limited eval subset can contain only one MCQ type; the fixed
+    {1: Intra, 2: Inter} mapping (replicating the reference's swapped
+    naming for the 2-type case) must still label it correctly — the
+    reference's positional zip would call a type-2-only subset
+    'Intra-video' and zero the best-model criterion."""
+    preds = np.array([[0.9, 0.1, 0, 0, 0], [0, 0.8, 0, 0, 0]])
+    labels = np.array([0, 1])
+    only2 = egomcq_accuracy_metrics(preds, labels, np.array([2, 2]))
+    assert only2 == {"Inter-video": 100.0}
+    only1 = egomcq_accuracy_metrics(preds, labels, np.array([1, 1]))
+    assert only1 == {"Intra-video": 100.0}
+    unknown = egomcq_accuracy_metrics(preds, labels, np.array([1, 7]))
+    assert set(unknown) == {"Intra-video", "type7"}
+
+
 def test_sim_matrix_cosine():
     a = np.array([[3.0, 0.0], [0.0, 5.0]])
     b = np.array([[1.0, 0.0], [1.0, 1.0]])

@@ -193,6 +193,15 @@ def test_http_server_end_to_end(monkeypatch):
         np.save(buf, np.zeros((1, T, RES, RES + 14, 3), np.uint8))
         code, out = _post(base + "/embed_video", buf.getvalue(), "application/x-npy")
         assert code == 400 and "deployment shape" in out["error"]
+        # a bare string must not silently embed per-character
+        code, out = _post(base + "/embed_text", b'{"texts": "wash hands"}')
+        assert code == 400 and "list of strings" in out["error"]
+        # engine failure -> structured 500, never a dropped socket
+        holder["engine"].close()
+        code, out = _post(
+            base + "/embed_text", json.dumps({"texts": texts}).encode()
+        )
+        assert code == 500 and "engine closed" in out["error"]
     finally:
         stop.set()
         th.join(timeout=30)
