@@ -155,12 +155,17 @@ def _bn_init(c):
     }
 
 
-def _conv(p, x, stride=1, padding="SAME"):
+def _conv(p, x, stride=1):
+    # torch Conv2d(padding=k//2) geometry, EXPLICIT: XLA "SAME" centers
+    # its windows differently for stride 2 (stem conv1 would sample rows
+    # [2j, 2j+2] instead of torch's [2j-1, 2j+1]), silently breaking
+    # parity with the reference ModifiedResNet (openai_model.py:108)
+    kh, kw = p["w"].shape[:2]
     return jax.lax.conv_general_dilated(
         x,
         p["w"].astype(x.dtype),
         (stride, stride),
-        padding,
+        ((kh // 2, kh // 2), (kw // 2, kw // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 

@@ -37,7 +37,7 @@ class TextConfig:
 
 
 def _init_block(key, cfg: TextConfig):
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, kq, kk, kv, ko = jax.random.split(key, 7)
     width = cfg.width
     attn_std = width**-0.5
     proj_std = (width**-0.5) * ((2 * cfg.layers) ** -0.5)
@@ -49,8 +49,12 @@ def _init_block(key, cfg: TextConfig):
         "mlp_fc": linear_init(k2, width, width * 4, std=fc_std),
         "mlp_proj": linear_init(k3, width * 4, width, std=proj_std),
     }
-    for w in ("wq", "wk", "wv"):
-        p["attn"][w]["w"] = jax.random.normal(k4, (width, width)) * attn_std
+    # CLIP initialize_parameters (openai_model.py): in_proj ~ N(0, attn_std)
+    # — one (3D, D) draw, i.e. INDEPENDENT q/k/v slices (a shared key
+    # would make Wq == Wk == Wv bit-identical) — out_proj ~ N(0, proj_std)
+    for w, kw in (("wq", kq), ("wk", kk), ("wv", kv)):
+        p["attn"][w]["w"] = jax.random.normal(kw, (width, width)) * attn_std
+    p["attn"]["wo"]["w"] = jax.random.normal(ko, (width, width)) * proj_std
     return p
 
 

@@ -98,6 +98,8 @@ def multi_head_attention(
     num_heads: int,
     mask=None,
     return_probs: bool = False,
+    dropout_rng=None,
+    dropout_rate: float = 0.0,
 ):
     """Standard MHA matching torch.nn.MultiheadAttention semantics.
 
@@ -105,6 +107,10 @@ def multi_head_attention(
     to (B, H, Nq, Nk) (use -inf/-1e9 for disallowed). With ``return_probs``
     also returns the head-averaged attention map (B, Nq, Nk) — torch's
     default averaged weights, used by the reference's visualisations.
+    ``dropout_rng``/``dropout_rate``: torch's attention-probability
+    dropout (nn.MultiheadAttention(dropout=p) drops softmax weights,
+    inverted-scaled, without renormalising); active only when a rng is
+    given. ``return_probs`` reports the pre-dropout weights, like torch.
     """
     h = num_heads
     q = _split_heads(linear(p["wq"], q_in), h)
@@ -115,7 +121,10 @@ def multi_head_attention(
     if mask is not None:
         logits = logits + mask
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    p_use = probs
+    if dropout_rng is not None and dropout_rate > 0.0:
+        p_use = dropout(dropout_rng, probs, dropout_rate, False)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p_use, v)
     out = linear(p["wo"], _merge_heads(out))
     if return_probs:
         return out, jnp.mean(probs, axis=1)

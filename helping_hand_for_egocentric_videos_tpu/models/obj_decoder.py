@@ -70,14 +70,17 @@ class DecoderConfig:
     ln_eps: float = 1e-5
 
 
-def _xavier(key, shape):
-    fan_in, fan_out = shape[0], shape[1]
+def _xavier(key, shape, fans=None):
+    """xavier_uniform; ``fans`` overrides (fan_in, fan_out) — torch
+    computes them on the PACKED (3d, d) in_proj_weight, so per-matrix
+    q/k/v draws must use the packed fans or come out sqrt(2)x too wide."""
+    fan_in, fan_out = fans if fans is not None else (shape[0], shape[1])
     bound = (6.0 / (fan_in + fan_out)) ** 0.5
     return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
 
 
 def _init_layer(key, cfg: DecoderConfig):
-    ks = jax.random.split(key, 12)
+    ks = jax.random.split(key, 14)
     d, f = cfg.d_model, cfg.dim_feedforward
     p = {
         "norm1": layer_norm_init(d),
@@ -89,15 +92,19 @@ def _init_layer(key, cfg: DecoderConfig):
         "linear2": linear_init(ks[3], f, d),
     }
     # Cross_Attention._reset_parameters xavier-uniforms every >1D tensor
-    # (tfm_decoder.py:71-74).
+    # (tfm_decoder.py:71-74); torch sees the PACKED (3d, d)
+    # in_proj_weight, so q/k/v use the packed fans. Keys are all distinct
+    # (ks[4..13]) — reused keys would correlate linear1/2 with the
+    # cross-attention draws.
     i = 4
     for attn in ("self_attn", "cross_attn"):
         for w in ("wq", "wk", "wv", "wo"):
-            p[attn][w]["w"] = _xavier(ks[i], p[attn][w]["w"].shape)
+            fans = (3 * d, d) if w != "wo" else None
+            p[attn][w]["w"] = _xavier(ks[i], p[attn][w]["w"].shape, fans=fans)
             p[attn][w]["b"] = jnp.zeros_like(p[attn][w]["b"])
-            i = i % 11 + 1 if i >= 11 else i + 1
-    p["linear1"]["w"] = _xavier(ks[10], p["linear1"]["w"].shape)
-    p["linear2"]["w"] = _xavier(ks[11], p["linear2"]["w"].shape)
+            i += 1
+    p["linear1"]["w"] = _xavier(ks[12], p["linear1"]["w"].shape)
+    p["linear2"]["w"] = _xavier(ks[13], p["linear2"]["w"].shape)
     return p
 
 
@@ -169,12 +176,23 @@ def _decoder_layer(
     attention maps, mirroring the reference's layer outputs
     (tfm_decoder.py:433-441)."""
     eps = cfg.ln_eps
-    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+    rngs = jax.random.split(rng, 6) if rng is not None else (None,) * 6
+    train = not deterministic and rng is not None
+    # torch nn.MultiheadAttention(dropout=p) also drops the softmax
+    # weights themselves (tfm_decoder.py:303/365) — in addition to the
+    # three residual dropouts — and the FFN drops its hidden activation
+    # between relu and linear2 (linear2(dropout(activation(linear1))),
+    # tfm_decoder.py:458)
+    attn_kw = lambda k: {  # noqa: E731
+        "dropout_rng": rngs[k] if train else None,
+        "dropout_rate": cfg.dropout,
+    }
 
     t2 = layer_norm(p["norm1"], tgt, eps)
     qk = t2 + query_pos
     sa = multi_head_attention(
-        p["self_attn"], qk, qk, t2, cfg.nhead, return_probs=return_attn
+        p["self_attn"], qk, qk, t2, cfg.nhead, return_probs=return_attn,
+        **attn_kw(3),
     )
     sa, self_attn = sa if return_attn else (sa, None)
     tgt = tgt + dropout(rngs[0], sa, cfg.dropout, deterministic)
@@ -182,13 +200,14 @@ def _decoder_layer(
     t2 = layer_norm(p["norm2"], tgt, eps)
     ca = multi_head_attention(
         p["cross_attn"], t2 + query_pos, memory + pos, memory, cfg.nhead,
-        return_probs=return_attn,
+        return_probs=return_attn, **attn_kw(4),
     )
     ca, cross_attn = ca if return_attn else (ca, None)
     tgt = tgt + dropout(rngs[1], ca, cfg.dropout, deterministic)
 
     t2 = layer_norm(p["norm3"], tgt, eps)
-    ff = linear(p["linear2"], jax.nn.relu(linear(p["linear1"], t2)))
+    hidden = dropout(rngs[5], jax.nn.relu(linear(p["linear1"], t2)), cfg.dropout, deterministic)
+    ff = linear(p["linear2"], hidden)
     out = tgt + dropout(rngs[2], ff, cfg.dropout, deterministic)
     if return_attn:
         return out, cross_attn, self_attn

@@ -42,10 +42,13 @@ LAVILA_STD = (68.5005327 / 255, 66.6321579 / 255, 70.32316305 / 255)
 
 def shortside_dims(h: int, w: int, short: int) -> tuple[int, int]:
     """Target (nh, nw) for a shorter-side resize to ``short`` (torchvision
-    Resize(int) geometry: round the long side, floor at ``short``)."""
+    Resize(int) geometry: the long side TRUNCATES —
+    ``int(size * long / short)`` in _compute_resized_output_size — so a
+    fractional part >= 0.5 must not round up or the center-crop window
+    shifts by a pixel vs the reference eval transforms)."""
     if h <= w:
-        return short, max(int(round(w * short / h)), short)
-    return max(int(round(h * short / w)), short), short
+        return short, max(int(w * short / h), short)
+    return max(int(h * short / w), short), short
 
 
 def _norm(x, mean, std):

@@ -232,6 +232,69 @@ def test_decoder_dropout_determinism(rng):
     assert not np.allclose(np.asarray(a.pred_boxes), np.asarray(c.pred_boxes))
 
 
+def test_mha_attention_prob_dropout(rng):
+    """torch nn.MultiheadAttention(dropout=p) drops the softmax weights;
+    the dropout_rng/dropout_rate args reproduce that site (active only
+    with a rng; return_probs reports pre-dropout weights like torch)."""
+    from helping_hand_for_egocentric_videos_tpu.models.layers import (
+        mha_init,
+        multi_head_attention,
+    )
+
+    p = mha_init(jax.random.PRNGKey(0), 32)
+    x = jnp.asarray(rng.normal(size=(2, 5, 32)).astype(np.float32))
+    base = multi_head_attention(p, x, x, x, 4)
+    same = multi_head_attention(p, x, x, x, 4, dropout_rng=jax.random.PRNGKey(1), dropout_rate=0.0)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    dropped = multi_head_attention(p, x, x, x, 4, dropout_rng=jax.random.PRNGKey(1), dropout_rate=0.5)
+    assert not np.allclose(np.asarray(base), np.asarray(dropped))
+    _, probs = multi_head_attention(
+        p, x, x, x, 4, return_probs=True,
+        dropout_rng=jax.random.PRNGKey(1), dropout_rate=0.5,
+    )
+    np.testing.assert_allclose(np.asarray(jnp.sum(probs, -1)), 1.0, atol=1e-5)
+
+
+def test_text_init_independent_qkv_and_out_proj_std():
+    """CLIP initialize_parameters draws ONE (3D, D) in_proj (independent
+    q/k/v slices) and out_proj ~ N(0, proj_std); a shared key once made
+    Wq == Wk == Wv bit-identical and left wo at the generic init."""
+    from helping_hand_for_egocentric_videos_tpu.models.clip_text import (
+        TextConfig,
+        init_text_params,
+    )
+
+    cfg = TextConfig(vocab_size=64, context_length=12, width=256, heads=4, layers=3, embed_dim=16)
+    p = init_text_params(jax.random.PRNGKey(0), cfg)
+    wq = np.asarray(p["blocks"]["attn"]["wq"]["w"][0])
+    wk = np.asarray(p["blocks"]["attn"]["wk"]["w"][0])
+    wv = np.asarray(p["blocks"]["attn"]["wv"]["w"][0])
+    assert not np.array_equal(wq, wk) and not np.array_equal(wk, wv)
+    proj_std = (cfg.width**-0.5) * ((2 * cfg.layers) ** -0.5)
+    wo_std = float(np.asarray(p["blocks"]["attn"]["wo"]["w"]).std())
+    assert abs(wo_std - proj_std) / proj_std < 0.1
+    attn_std = cfg.width**-0.5
+    assert abs(float(wq.std()) - attn_std) / attn_std < 0.1
+
+
+def test_decoder_init_packed_xavier_bound():
+    """torch xavier-uniforms the PACKED (3d, d) in_proj: per-matrix q/k/v
+    draws must use the packed fans (bound sqrt(6/4d), not sqrt(6/2d))."""
+    cfg = DecoderConfig(
+        d_model=64, nhead=4, num_layers=2, dim_feedforward=128, num_queries=3,
+        num_classes=4, feature_dim=48, num_frames=2, patches_per_frame=4,
+    )
+    p = init_decoder_params(jax.random.PRNGKey(3), cfg)
+    d = cfg.d_model
+    packed_bound = (6.0 / (4 * d)) ** 0.5
+    for attn in ("self_attn", "cross_attn"):
+        for w in ("wq", "wk", "wv"):
+            arr = np.asarray(p["layers"][attn][w]["w"])
+            assert np.abs(arr).max() <= packed_bound + 1e-6, (attn, w)
+            # and it actually fills the packed range (not the out-proj's)
+            assert np.abs(arr).max() > 0.9 * packed_bound
+
+
 def test_decoder_attention_maps(rng):
     cfg = DecoderConfig(
         d_model=32, nhead=4, num_layers=2, dim_feedforward=64, num_queries=5,

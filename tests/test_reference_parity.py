@@ -784,6 +784,28 @@ def test_clip_resnet_image_tower_parity(rng):
     got = np.asarray(clip_resnet_encode(params, cfg, jnp.asarray(imgs)))
     np.testing.assert_allclose(got, want, atol=3e-5)
 
+    # the stem DIRECTLY (the final-embedding check above is dominated by
+    # the attnpool positional embedding at torch-default weight scales,
+    # and once hid a stride-2 window misalignment: XLA SAME sampled rows
+    # [2j, 2j+2] where torch padding=1 samples [2j-1, 2j+1])
+    from helping_hand_for_egocentric_videos_tpu.models import clip_image as ci
+
+    with torch.no_grad():
+        t = torch.from_numpy(imgs).permute(0, 3, 1, 2)
+        for i in (1, 2, 3):
+            t = getattr(ref, f"relu{i}")(
+                getattr(ref, f"bn{i}")(getattr(ref, f"conv{i}")(t))
+            )
+        t = ref.avgpool(t)
+        stem_want = t.permute(0, 2, 3, 1).numpy()
+    x = jnp.asarray(imgs)
+    x = jax.nn.relu(ci._bn(params["bn1"], ci._conv(params["conv1"], x, stride=2)))
+    x = jax.nn.relu(ci._bn(params["bn2"], ci._conv(params["conv2"], x)))
+    x = jax.nn.relu(ci._bn(params["bn3"], ci._conv(params["conv3"], x)))
+    stem_got = np.asarray(ci._avgpool(x, 2))
+    assert stem_want.std() > 1e-4  # the comparison is load-bearing
+    np.testing.assert_allclose(stem_got, stem_want, atol=3e-6, rtol=1e-4)
+
 
 def test_zoo_load_clip_full_checkpoint_parity(rng, tmp_path):
     """models/zoo.load_clip vs the reference CLIP (openai_model.py:275-418):
