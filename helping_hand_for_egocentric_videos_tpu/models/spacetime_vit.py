@@ -63,6 +63,9 @@ class SpaceTimeConfig:
     # an appended ones column of the value dot, fusing exp straight into
     # the bf16 probs (fewer VPU passes over the f32 logits)
     fused_den_attention: bool = False
+    # kernel-tail A/B #2 (BENCH_NOTES r4): coalesce the kernels' per-head
+    # lane-sliced output/partial stores into one full-width store each
+    coalesced_epilogue: bool = False
 
     @property
     def patches_per_frame(self) -> int:
@@ -134,7 +137,7 @@ def _use_pallas(backend: str) -> bool:
     return False
 
 
-def _var_attention_pallas(p, x_cls, x_p, t: int, n: int, heads: int, mode: str, interpret=False, fused_den=False):
+def _var_attention_pallas(p, x_cls, x_p, t: int, n: int, heads: int, mode: str, interpret=False, fused_den=False, coalesce_out=False):
     """Divided attention via the packed-qkv Pallas kernel on a split
     (cls, patches) representation: the patch qkv matmul's (B, T*N, 3D)
     output reshapes for free into the kernel's (B, T, N, 3D) tile — no
@@ -169,7 +172,7 @@ def _var_attention_pallas(p, x_cls, x_p, t: int, n: int, heads: int, mode: str, 
     quant_out = "w_q" in p["proj"] and "q_on" not in p["proj"]
     out_patch, (m, s, co) = divided_patch_attention(
         qkv_p, cls_k, cls_v, cls_q, mode=mode, heads=heads, interpret=interpret,
-        quant_out=quant_out, fused_den=fused_den,
+        quant_out=quant_out, fused_den=fused_den, coalesce_out=coalesce_out,
     )
     cls_out = merge_cls_partials(m, s, co, cls_q, cls_k, cls_v, heads)
     cls_out = cls_out.astype(x_cls.dtype)[:, None, :]
@@ -198,7 +201,7 @@ def _kernel_friendly(n: int, d: int, heads: int, t: int) -> bool:
     return dh % 64 == 0 and n % 8 == 0 and n >= 32 and heads <= 16 and t <= 128
 
 
-def _var_attention_split(p, x_cls, x_p, t, n, heads, mode, backend, fused_den=False):
+def _var_attention_split(p, x_cls, x_p, t, n, heads, mode, backend, fused_den=False, coalesce_out=False):
     """Divided attention on the split (cls, patches) representation.
 
     mode='space': patch tokens attend within their frame (groups of N),
@@ -208,14 +211,15 @@ def _var_attention_split(p, x_cls, x_p, t, n, heads, mode, backend, fused_den=Fa
     """
     if backend == "pallas_interpret":  # CPU-testable kernel path
         return _var_attention_pallas(
-            p, x_cls, x_p, t, n, heads, mode, interpret=True, fused_den=fused_den
+            p, x_cls, x_p, t, n, heads, mode, interpret=True,
+            fused_den=fused_den, coalesce_out=coalesce_out,
         )
     if isinstance(x_p, tuple) or (
         _use_pallas(backend) and _kernel_friendly(n, x_p.shape[-1], heads, t)
     ):
         # a tuple x_p is the ln_int8 pre-quantized stream — the caller
         # (_block) only produces it when this pallas path is taken
-        return _var_attention_pallas(p, x_cls, x_p, t, n, heads, mode, fused_den=fused_den)
+        return _var_attention_pallas(p, x_cls, x_p, t, n, heads, mode, fused_den=fused_den, coalesce_out=coalesce_out)
     x = jnp.concatenate([x_cls, x_p], axis=1)
     out = _var_attention(p, x, t, n, heads, mode)
     return out[:, :1], out[:, 1:]
@@ -312,6 +316,7 @@ def _block(p, x, cfg: SpaceTimeConfig, t: int, n: int):
         layer_norm(p["norm3"], x_cls, eps),
         norm_patch(p["norm3"], x_p),
         t, n, cfg.heads, "time", be, fused_den=cfg.fused_den_attention,
+        coalesce_out=cfg.coalesced_epilogue,
     )
     tr_cls, tr_p = x_cls + tc, x_p + tp
 
@@ -320,6 +325,7 @@ def _block(p, x, cfg: SpaceTimeConfig, t: int, n: int):
         layer_norm(p["norm1"], tr_cls, eps),
         norm_patch(p["norm1"], tr_p),
         t, n, cfg.heads, "space", be, fused_den=cfg.fused_den_attention,
+        coalesce_out=cfg.coalesced_epilogue,
     )
     # 'frozen-in-time' residual: from x, not time_residual (L:383-384)
     sr_cls, sr_p = x_cls + sc, x_p + sp

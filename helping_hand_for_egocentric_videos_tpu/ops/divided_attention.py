@@ -37,9 +37,13 @@ ever materialise in HBM.
 HBM traffic per attention: read qkv once, write the (B, T, N, D) output
 once (+ tiny partial tensors).
 
-All dots pin ``precision=DEFAULT``: a global jax_default_matmul_precision
-override ('highest') otherwise reaches the kernel body and makes Mosaic
-reject the bf16 matmuls.
+All dots pin an explicit precision (never the ambient default): a global
+jax_default_matmul_precision override ('highest') would otherwise reach
+the kernel body and make Mosaic reject the bf16 matmuls. bf16/int8
+activations use DEFAULT; f32 activations (tests, dryrun, debug) pin
+HIGHEST, because jax 0.9 backends compute DEFAULT-precision f32 dots at
+reduced precision — which broke the fused_den invariant that the
+ones-column sum equals an exact jnp.sum (see _rows_kernel).
 """
 
 from __future__ import annotations
@@ -59,6 +63,7 @@ _PREC = jax.lax.Precision.DEFAULT
 def _rows_kernel(
     qkv_ref, cls_ref, o_ref, m_ref, s_ref, co_ref, *rest,
     heads, dh, scale, nb, t, quant_out=False, fused_den=False,
+    coalesce_out=False,
 ):
     """One tile of divided attention on flat rows (+ CLS query row).
 
@@ -70,15 +75,33 @@ def _rows_kernel(
     quantized projection matmul consumes it directly — the XLA-side
     reduce_max + convert passes over the attention output disappear and
     the HBM output write halves (int8 eval mode; see models/quant.py).
+
+    coalesce_out: epilogue A/B variant (kernel-tail experiment #2,
+    BENCH_NOTES r4): instead of 16 half-register lane-sliced stores of
+    (R, dh=64) per-head outputs plus 48 tiny (1, 1)/(1, dh) CLS-partial
+    stores per program, accumulate everything in VREGs and emit ONE
+    full-width (R, D) output store + three (H, ·) partial stores after
+    the head loop. Identical math — only the store schedule changes.
     """
     if quant_out:
-        sq_ref, scratch_ref = rest
+        if coalesce_out:
+            (sq_ref,) = rest
+        else:
+            sq_ref, scratch_ref = rest
     d = heads * dh
     tile = qkv_ref[0]
     r = tile.shape[0] * tile.shape[1] if nb is not None else tile.shape[1]
     # one sublane concat per program: rows + the packed [cq|ck|cv] row
     rows = jnp.concatenate([tile.reshape(r, 3 * d), cls_ref[0]], axis=0)
     ra = r + 1
+    # f32 activations (tests, dryrun, debug) get true-f32 dots: under
+    # DEFAULT, jax 0.9's CPU (and TPU) backends compute f32 dots at
+    # reduced precision, which would make e.g. the fused_den ones-column
+    # sum drift ~1e-3 from an exact jnp.sum. Production runs bf16/int8,
+    # where DEFAULT is required (Mosaic rejects 'highest' bf16 dots).
+    prec = (
+        jax.lax.Precision.HIGHEST if rows.dtype == jnp.float32 else _PREC
+    )
 
     if nb is not None and nb > 1:
         # same-patch visibility for patch rows; the CLS-query row (r) sees
@@ -94,6 +117,8 @@ def _rows_kernel(
     row_i = jax.lax.broadcasted_iota(jnp.int32, (ra, 1), 0)
     self_mask = jnp.where(row_i == r, -1e30, 0.0)  # (RA, 1)
 
+    outs = [] if coalesce_out else None
+    part_m, part_s, part_co = [], [], []
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
         q = rows[:, sl]  # (RA, dh) — last row is the CLS query
@@ -104,7 +129,7 @@ def _rows_kernel(
         # scale applied to the f32 logits (== scaling q, softmax-invariant)
         logits = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
+            preferred_element_type=jnp.float32, precision=prec,
         )  # (RA, R)
         if neg is not None:
             logits = logits + neg
@@ -132,7 +157,7 @@ def _rows_kernel(
             vp = jnp.concatenate(cols, axis=1)  # (R, dh+1+pad): [v | 1 | 0]
             raw128 = jax.lax.dot_general(
                 p, vp, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC,
+                preferred_element_type=jnp.float32, precision=prec,
             )  # (RA, 128)
             raw = raw128[:, :dh]
             den = raw128[:, dh : dh + 1] + e_c
@@ -141,23 +166,45 @@ def _rows_kernel(
             den = jnp.sum(e_p, axis=-1, keepdims=True) + e_c
             raw = jax.lax.dot_general(
                 e_p.astype(rows.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC,
+                preferred_element_type=jnp.float32, precision=prec,
             )  # (RA, dh)
         out = (raw[:r] + e_c[:r] * cv.astype(jnp.float32)) / den[:r]
+        if coalesce_out:
+            outs.append(out)
+            # CLS streaming partials = row r (e_c[r] is exp(-1e30 - m)
+            # == 0, so den[r]/raw[r] cover the patch keys only)
+            part_m.append(m[r:])
+            part_s.append(den[r:])
+            part_co.append(raw[r:])
+            continue
         if quant_out:
             scratch_ref[:, sl] = out  # f32; quantized once after the loop
         elif nb is None:
             o_ref[0, 0, :, sl] = out.astype(o_ref.dtype)
         else:
             o_ref[0, :, :, sl] = out.reshape(t, nb, dh).astype(o_ref.dtype)
-        # CLS streaming partials = row r (e_c[r] is exp(-1e30 - m) == 0,
-        # so den[r]/raw[r] cover the patch keys only)
+        # CLS streaming partials = row r (see comment above)
         m_ref[0, 0, h : h + 1, :] = m[r:]
         s_ref[0, 0, h : h + 1, :] = den[r:]
         co_ref[0, 0, h : h + 1, :] = raw[r:]
 
+    if coalesce_out:
+        # one full-width store each for the output and the partials
+        m_ref[0, 0] = jnp.concatenate(part_m, axis=0)  # (H, 1)
+        s_ref[0, 0] = jnp.concatenate(part_s, axis=0)
+        co_ref[0, 0] = jnp.concatenate(part_co, axis=0)  # (H, dh)
+        if not quant_out:
+            acc = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)  # (R, D)
+            if nb is None:
+                o_ref[0, 0] = acc
+            else:
+                o_ref[0] = acc.reshape(t, nb, d)
+
     if quant_out:
-        acc = scratch_ref[:, :]  # (R, D) f32
+        acc = (
+            jnp.concatenate(outs, axis=-1) if coalesce_out
+            else scratch_ref[:, :]
+        )  # (R, D) f32
         # same per-token scale rule as quant.int8_linear
         s_x = jnp.maximum(
             jnp.max(jnp.abs(acc), axis=-1, keepdims=True) / 127.0, 1e-8
@@ -218,7 +265,9 @@ def _temporal_block(t: int, n: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "heads", "interpret", "quant_out", "fused_den"),
+    static_argnames=(
+        "mode", "heads", "interpret", "quant_out", "fused_den", "coalesce_out",
+    ),
 )
 def divided_patch_attention(
     qkv,
@@ -231,6 +280,7 @@ def divided_patch_attention(
     interpret: bool = False,
     quant_out: bool = False,
     fused_den: bool = False,
+    coalesce_out: bool = False,
 ):
     """Patch-token divided attention on packed qkv (+ CLS partials).
 
@@ -260,7 +310,7 @@ def divided_patch_attention(
         r = n
         kernel = functools.partial(
             _rows_kernel, heads=heads, dh=dh, scale=scale, nb=None, t=t,
-            quant_out=quant_out, fused_den=fused_den,
+            quant_out=quant_out, fused_den=fused_den, coalesce_out=coalesce_out,
         )
         grid = (b, t)
         g = t
@@ -272,7 +322,7 @@ def divided_patch_attention(
         r = t * nb
         kernel = functools.partial(
             _rows_kernel, heads=heads, dh=dh, scale=scale, nb=nb, t=t,
-            quant_out=quant_out, fused_den=fused_den,
+            quant_out=quant_out, fused_den=fused_den, coalesce_out=coalesce_out,
         )
         grid = (b, n // nb)
         g = n // nb
@@ -296,7 +346,8 @@ def divided_patch_attention(
     if quant_out:
         out_specs.append(sq_spec)
         out_shape.append(jax.ShapeDtypeStruct((b, t, n, 1), jnp.float32))
-        scratch_shapes = [pltpu.VMEM((r, d), jnp.float32)]
+        if not coalesce_out:  # the coalesced path accumulates in VREGs
+            scratch_shapes = [pltpu.VMEM((r, d), jnp.float32)]
     res = pl.pallas_call(
         kernel,
         grid=grid,

@@ -724,3 +724,63 @@ def test_backbone_fused_den_interpret_agrees_with_xla(rng):
     atol = 2e-5 if jax.default_backend() == "cpu" else 3e-2
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
     np.testing.assert_allclose(np.asarray(a_cls), np.asarray(b_cls), atol=atol)
+
+
+def test_rows_kernel_coalesced_epilogue_interpret(rng):
+    """coalesce_out A/B variant (kernel-tail experiment #2, BENCH_NOTES
+    r4): identical math with the per-head output/partial stores replaced
+    by one full-width store each after the head loop. Must be BIT-EXACT
+    vs the plain kernel (only the store schedule changes), for both
+    modes, composed with quant_out and fused_den, and through the full
+    backbone via SpaceTimeConfig.coalesced_epilogue."""
+    from dataclasses import replace
+
+    from helping_hand_for_egocentric_videos_tpu.ops.divided_attention import (
+        divided_patch_attention,
+    )
+
+    b, t, n, d, heads = 2, 2, 16, 128, 2
+    qkv = jnp.asarray(rng.normal(size=(b, t, n, 3 * d)).astype(np.float32) * 0.3)
+    ck = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.3)
+    cv = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.3)
+    cq = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.3)
+
+    for mode in ("space", "time"):
+        for base_kw in ({}, {"fused_den": True}):
+            ref, (m0, s0, co0) = divided_patch_attention(
+                qkv, ck, cv, cq, mode=mode, heads=heads, interpret=True, **base_kw
+            )
+            out, (m1, s1, co1) = divided_patch_attention(
+                qkv, ck, cv, cq, mode=mode, heads=heads, interpret=True,
+                coalesce_out=True, **base_kw,
+            )
+            for x, y in ((out, ref), (m1, m0), (s1, s0), (co1, co0)):
+                np.testing.assert_array_equal(
+                    np.asarray(x), np.asarray(y), err_msg=f"{mode}/{base_kw}"
+                )
+        # composes with quant_out (the coalesced path drops the VMEM
+        # scratch and quantizes the in-VREG accumulator)
+        (q0, sx0), _ = divided_patch_attention(
+            qkv, ck, cv, cq, mode=mode, heads=heads, interpret=True, quant_out=True
+        )
+        (q1, sx1), _ = divided_patch_attention(
+            qkv, ck, cv, cq, mode=mode, heads=heads, interpret=True,
+            quant_out=True, coalesce_out=True,
+        )
+        np.testing.assert_array_equal(np.asarray(q1), np.asarray(q0))
+        np.testing.assert_array_equal(np.asarray(sx1), np.asarray(sx0))
+
+    # full backbone: coalesced_epilogue flips only the store schedule
+    cfg = SpaceTimeConfig(
+        img_size=112, patch_size=14, width=128, depth=2, heads=2, num_frames=2,
+        attention_backend="pallas_interpret",
+    )
+    params = init_spacetime_params(jax.random.PRNGKey(0), cfg)
+    video = jnp.asarray(rng.normal(size=(1, 2, 112, 112, 3)).astype(np.float32))
+    a_cls, a = spacetime_forward(params, cfg, video, use_remat=False, dtype=jnp.float32)
+    b_cls, b = spacetime_forward(
+        params, replace(cfg, coalesced_epilogue=True), video,
+        use_remat=False, dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(a_cls), np.asarray(b_cls))

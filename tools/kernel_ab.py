@@ -66,47 +66,62 @@ def main() -> int:
         np.asarray(jax.tree.leaves(out)[0], np.float32)
         return (time.perf_counter() - t0) / reps
 
+    # the A/B grid: fused_den (softmax-pass experiment) x coalesce_out
+    # (epilogue-store experiment) — both promoted only on measured gains
+    VARIANTS = {
+        "plain": {},
+        "fused": {"fused_den": True},
+        "coal": {"coalesce_out": True},
+        "fused_coal": {"fused_den": True, "coalesce_out": True},
+    }
+
     # on-chip agreement first: interpret-mode tests can't see real Mosaic
     # lowering bugs, so refuse to time a miscompiled kernel
     for mode in ("space", "time"):
         a, _ = divided_patch_attention(qkv, ck, cv, cq, mode=mode, heads=heads)
-        f, _ = divided_patch_attention(
-            qkv, ck, cv, cq, mode=mode, heads=heads, fused_den=True
-        )
-        diff = float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(f, np.float32))))
         scale_a = float(np.max(np.abs(np.asarray(a, np.float32)))) + 1e-12
-        print(
-            json.dumps(
-                {"metric": f"agreement_{mode}", "max_abs_diff": round(diff, 6),
-                 "rel": round(diff / scale_a, 6), "ok": diff <= 0.05 * scale_a}
-            ),
-            flush=True,
-        )
-        if diff > 0.05 * scale_a:
-            print(json.dumps({"metric": "abort", "detail": f"{mode} disagreement"}))
-            return 1
+        for name, kw in VARIANTS.items():
+            if not kw:
+                continue
+            f, _ = divided_patch_attention(
+                qkv, ck, cv, cq, mode=mode, heads=heads, **kw
+            )
+            diff = float(np.max(np.abs(np.asarray(a, np.float32) - np.asarray(f, np.float32))))
+            print(
+                json.dumps(
+                    {"metric": f"agreement_{mode}_{name}",
+                     "max_abs_diff": round(diff, 6),
+                     "rel": round(diff / scale_a, 6), "ok": diff <= 0.05 * scale_a}
+                ),
+                flush=True,
+            )
+            if diff > 0.05 * scale_a:
+                print(json.dumps(
+                    {"metric": "abort", "detail": f"{mode}/{name} disagreement"}
+                ))
+                return 1
 
     for mode in ("space", "time"):
         res = {}
-        for fused in (False, True):
+        for name, kw in VARIANTS.items():
 
             @jax.jit
-            def chain(x, ck=ck, cv=cv, cq=cq, mode=mode, fused=fused):
+            def chain(x, ck=ck, cv=cv, cq=cq, mode=mode, kw=tuple(kw.items())):
                 for _ in range(24):
                     out, _ = divided_patch_attention(
-                        x, ck, cv, cq, mode=mode, heads=heads, fused_den=fused
+                        x, ck, cv, cq, mode=mode, heads=heads, **dict(kw)
                     )
                     x = jnp.concatenate([out, out, out], axis=-1)
                 return x
 
-            res["fused" if fused else "plain"] = timed(chain, qkv)
+            res[name] = timed(chain, qkv)
         print(
             json.dumps(
                 {
                     "metric": f"attn24_{mode}_ms",
-                    "plain": round(res["plain"] * 1e3, 2),
-                    "fused": round(res["fused"] * 1e3, 2),
-                    "speedup": round(res["plain"] / res["fused"], 4),
+                    **{k: round(v * 1e3, 2) for k, v in res.items()},
+                    "best": min(res, key=res.get),
+                    "best_speedup": round(res["plain"] / min(res.values()), 4),
                 }
             ),
             flush=True,
@@ -156,19 +171,24 @@ def main() -> int:
 
             bb = quantize_lavila_params(backbone)
         rates = {}
-        for fused in (False, True):
+        for name, kw in VARIANTS.items():
             cfg = replace(
-                cfg0, visual=replace(cfg0.visual, fused_den_attention=fused)
+                cfg0,
+                visual=replace(
+                    cfg0.visual,
+                    fused_den_attention=kw.get("fused_den", False),
+                    coalesced_epilogue=kw.get("coalesce_out", False),
+                ),
             )
-            rates["fused" if fused else "plain"] = eval_rate(cfg, bb)
+            rates[name] = eval_rate(cfg, bb)
         print(
             json.dumps(
                 {
                     "metric": "eval_16f_clips_per_sec"
                     + ("_int8" if quant else "_bf16"),
-                    "plain": round(rates["plain"], 2),
-                    "fused": round(rates["fused"], 2),
-                    "speedup": round(rates["fused"] / rates["plain"], 4),
+                    **{k: round(v, 2) for k, v in rates.items()},
+                    "best": max(rates, key=rates.get),
+                    "best_speedup": round(max(rates.values()) / rates["plain"], 4),
                 }
             ),
             flush=True,
