@@ -63,9 +63,13 @@ class SpaceTimeConfig:
     # an appended ones column of the value dot, fusing exp straight into
     # the bf16 probs (fewer VPU passes over the f32 logits)
     fused_den_attention: bool = False
-    # kernel-tail A/B #2 (BENCH_NOTES r4): coalesce the kernels' per-head
-    # lane-sliced output/partial stores into one full-width store each
-    coalesced_epilogue: bool = False
+    # Coalesce the attention kernels' per-head lane-sliced output/partial
+    # stores into one full-width store each (kernel-tail experiment #2,
+    # BENCH_NOTES r4). Bit-exact vs the per-head store schedule; measured
+    # +4.0% bf16 / +4.7% int8 on the full 16f eval (reproduced twice), so
+    # on by default. Policy is per-mode for A/B: False/'off' = never,
+    # True/'all' = both modes, 'time'/'space' = that attention mode only.
+    coalesced_epilogue: "bool | str" = True
 
     @property
     def patches_per_frame(self) -> int:
@@ -273,6 +277,13 @@ def _var_attention(p, x, t: int, n: int, heads: int, mode: str):
     return linear(p["proj"], out)
 
 
+def _coalesce_for(flag, mode: str) -> bool:
+    """Resolve the per-mode coalesced-epilogue policy (SpaceTimeConfig)."""
+    if isinstance(flag, str):
+        return flag == "all" or mode in flag.split("+")
+    return bool(flag)
+
+
 def _block(p, x, cfg: SpaceTimeConfig, t: int, n: int):
     """One SpaceTimeBlock on the split (x_cls, x_p) representation.
 
@@ -316,7 +327,7 @@ def _block(p, x, cfg: SpaceTimeConfig, t: int, n: int):
         layer_norm(p["norm3"], x_cls, eps),
         norm_patch(p["norm3"], x_p),
         t, n, cfg.heads, "time", be, fused_den=cfg.fused_den_attention,
-        coalesce_out=cfg.coalesced_epilogue,
+        coalesce_out=_coalesce_for(cfg.coalesced_epilogue, "time"),
     )
     tr_cls, tr_p = x_cls + tc, x_p + tp
 
@@ -325,7 +336,7 @@ def _block(p, x, cfg: SpaceTimeConfig, t: int, n: int):
         layer_norm(p["norm1"], tr_cls, eps),
         norm_patch(p["norm1"], tr_p),
         t, n, cfg.heads, "space", be, fused_den=cfg.fused_den_attention,
-        coalesce_out=cfg.coalesced_epilogue,
+        coalesce_out=_coalesce_for(cfg.coalesced_epilogue, "space"),
     )
     # 'frozen-in-time' residual: from x, not time_residual (L:383-384)
     sr_cls, sr_p = x_cls + sc, x_p + sp

@@ -784,3 +784,19 @@ def test_rows_kernel_coalesced_epilogue_interpret(rng):
     )
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(a_cls), np.asarray(b_cls))
+
+    # per-mode policy strings resolve correctly and leave the math alone
+    from helping_hand_for_egocentric_videos_tpu.models.spacetime_vit import (
+        _coalesce_for,
+    )
+
+    assert _coalesce_for("time", "time") and not _coalesce_for("time", "space")
+    assert _coalesce_for("all", "space") and not _coalesce_for("off", "time")
+    assert _coalesce_for("time+space", "space") and _coalesce_for(True, "time")
+    for policy in ("time", "space"):
+        c_cls, c = spacetime_forward(
+            params, replace(cfg, coalesced_epilogue=policy), video,
+            use_remat=False, dtype=jnp.float32,
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+        np.testing.assert_array_equal(np.asarray(a_cls), np.asarray(c_cls))

@@ -101,7 +101,7 @@ def main() -> int:
                 ))
                 return 1
 
-    for mode in ("space", "time"):
+    for mode in () if os.environ.get("HH_AB_EVAL_ONLY") == "1" else ("space", "time"):
         res = {}
         for name, kw in VARIANTS.items():
 
@@ -170,14 +170,25 @@ def main() -> int:
             )
 
             bb = quantize_lavila_params(backbone)
+        # config-level grid adds the per-mode policy the kernel-level grid
+        # can't express: chains showed coal is mode-asymmetric (time +36%,
+        # space -18%), so 'time' — coalesce temporal attention only — is
+        # the predicted winner
+        EVAL_VARIANTS = {
+            "plain": (False, False),
+            "fused": (True, False),
+            "coal": (False, True),
+            "fused_coal": (True, True),
+            "coal_time": (False, "time"),
+        }
         rates = {}
-        for name, kw in VARIANTS.items():
+        for name, (fused, coal) in EVAL_VARIANTS.items():
             cfg = replace(
                 cfg0,
                 visual=replace(
                     cfg0.visual,
-                    fused_den_attention=kw.get("fused_den", False),
-                    coalesced_epilogue=kw.get("coalesce_out", False),
+                    fused_den_attention=fused,
+                    coalesced_epilogue=coal,
                 ),
             )
             rates[name] = eval_rate(cfg, bb)
