@@ -74,6 +74,12 @@ class OptimCfg:
     # capture a jax profiler trace (xplane, viewable offline via
     # utils/profiling.top_ops) around this global step; 0 disables
     profile_step: int = 0
+    # metric scalars are sampled every 5 steps as DEVICE arrays and only
+    # converted to host floats every log_flush_iter steps — by flush
+    # time they are long computed, so the pull never stalls dispatch
+    # (the reference float()s every logged tensor at the logging cadence,
+    # run/train.py:204-219; syncing every 5 steps cost measurable time)
+    log_flush_iter: int = 50
 
 
 @dataclass

@@ -226,6 +226,7 @@ def pretrain(
     rng = jax.random.PRNGKey(cfg.optim.seed)
     stop = False
     pending_save = None  # in-flight save-behind write (optim.async_save)
+    pending_metrics = []  # sampled device scalars awaiting the flush cadence
     # one EvalModel for the whole run: its jitted closures take params as
     # ARGUMENTS, so swapping decoder_params per eval reuses the compiled
     # programs — rebuilding it each eval would recompile the full
@@ -271,10 +272,21 @@ def pretrain(
                     state, metrics = step_fn(state, backbone, batch, noun_dict, step_rng)
                 step += 1
                 if step % 5 == 0 or max_steps:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    losses.update(m["total_loss"])
-                    logger.log(step, m, prefix="local/")
-                    logger.log(step, {"sps": 1.0 / max(time.time() - end, 1e-6)}, prefix="device/")
+                    # defer the device->host pull: keep the (tiny) scalar
+                    # arrays and flush on log_flush_iter cadence, so the
+                    # sample itself never syncs the dispatch queue
+                    pending_metrics.append(
+                        (step, metrics, 1.0 / max(time.time() - end, 1e-6))
+                    )
+                if pending_metrics and (
+                    step % max(cfg.optim.log_flush_iter, 1) == 0 or max_steps
+                ):
+                    for s, dev_m, sps in pending_metrics:
+                        m = {k: float(v) for k, v in dev_m.items()}
+                        losses.update(m["total_loss"])
+                        logger.log(s, m, prefix="local/")
+                        logger.log(s, {"sps": sps}, prefix="device/")
+                    pending_metrics.clear()
                 batch_time.update(time.time() - end)
                 end = time.time()
                 if step % 100 == 0:
@@ -315,6 +327,11 @@ def pretrain(
 
     if pending_save is not None:
         pending_save.result()
+    for s, dev_m, sps in pending_metrics:  # tail flush
+        m = {k: float(v) for k, v in dev_m.items()}
+        losses.update(m["total_loss"])
+        logger.log(s, m, prefix="local/")
+        logger.log(s, {"sps": sps}, prefix="device/")
     logger.close()
     val_logger.close()
     return state, best_acc
