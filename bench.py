@@ -44,11 +44,17 @@ REFERENCE_CLIPS_PER_SEC = 30.0
 # reference's unfused eager bs=1 torch eval loop (run/test_epic.py:319) is
 # generously assumed to reach ~32% of that peak -> ~30 clips/s.
 BASELINE_SOURCE = (
-    "analytic estimate, no published number: 3.3 TFLOP/clip fwd "
-    "(BENCH_NOTES.md roofline) / A100 fp16 peak 312 TF/s @ assumed 32% "
-    "util for eager bs=1 torch eval (BASELINE.md)"
+    "analytic estimate, no published number: ~3.4 TFLOP/clip fwd "
+    "(utils/flops.py counter; BENCH_NOTES.md roofline) / A100 fp16 peak "
+    "312 TF/s @ assumed 32% util for eager bs=1 torch eval (BASELINE.md; "
+    "the 32% figure is cross-checked by a measured same-host CPU "
+    "utilisation of the actual reference in BASELINE_MEASURED.json)"
 )
-FLOPS_PER_CLIP_16F = 3.3e12  # flagship fwd @16f/224^2 — BENCH_NOTES.md
+# analytic counter: utils/flops.py (pinned by tests/test_bench.py); the
+# r1-r4 BENCH_NOTES hand figure was 3.3e12 — the shared counter gives
+# 3.46e12 (same counting rules, less rounding); mfu fields use the
+# counter so eval and train lines are consistent
+FLOPS_PER_CLIP_16F = 3.458e12  # flagship eval fwd @16f/224^2 + caption + decoder
 V5E_PEAK_TFLOPS = {"bf16": 197.0, "int8": 394.0}
 BATCH = 16
 FRAMES = 16
@@ -85,8 +91,9 @@ def bench_train_step(int8_backbone: bool = False, augment: bool = False):
 
     # 16 videos/chip = the reference's per-GPU batch (bs 128 over 8 GPUs,
     # run/train.py:592 + configs n_gpu); also measured faster than 8
-    # (119.5 vs 108 bf16, 148.4 vs 134 int8 clips/s — BENCH_NOTES r3)
-    t, n_videos, r = 4, 16, 5
+    # (119.5 vs 108 bf16, 148.4 vs 134 int8 clips/s — BENCH_NOTES r3).
+    # HH_BENCH_TRAIN_BS overrides for batch-scaling sweeps (BENCH_NOTES r5)
+    t, n_videos, r = 4, int(os.environ.get("HH_BENCH_TRAIN_BS", "16")), 5
     cfg = timesformer_large_config(num_frames=t)
     dec_cfg = DecoderConfig(num_frames=t)
     tcfg = TrainConfig(augment=augment, color_jitter=(0.2, 0.2, 0.1) if augment else (0.0, 0.0, 0.0))
@@ -138,6 +145,29 @@ def bench_train_step(int8_backbone: bool = False, augment: bool = False):
     float(metrics["total_loss"])  # device->host sync
     dt = time.perf_counter() - t0
     clips_per_sec = n_videos * STEPS / dt
+
+    # train roofline (VERDICT r4 item 2): analytic per-clip FLOPs from the
+    # shared counter; the frozen backbone contributes forward-only FLOPs
+    # (feature extraction sits OUTSIDE the grad closure, train/step.py:286,
+    # so no backbone backward / remat recompute exists in the program)
+    from helping_hand_for_egocentric_videos_tpu.utils.flops import (
+        text_fwd_flops,
+        train_step_flops_per_clip,
+        vision_fwd_flops,
+    )
+
+    train_flops = train_step_flops_per_clip(cfg, dec_cfg, rephrase_factor=r)
+    if int8_backbone:
+        # the quantized portion (frozen vision+text towers) runs on the
+        # int8 MXU path (2x peak); the trained decoder stays f32/bf16 —
+        # mfu is reported against the resulting mixed peak
+        frozen = vision_fwd_flops(cfg.visual) + r * text_fwd_flops(cfg.text)
+        rest = train_flops - frozen
+        peak_tf = train_flops / (
+            frozen / V5E_PEAK_TFLOPS["int8"] + rest / V5E_PEAK_TFLOPS["bf16"]
+        )
+    else:
+        peak_tf = V5E_PEAK_TFLOPS["bf16"]
     line = {
         "metric": "train_clips_per_sec_per_chip_4f"
         + ("_int8_backbone" if int8_backbone else "")
@@ -145,6 +175,10 @@ def bench_train_step(int8_backbone: bool = False, augment: bool = False):
         "value": round(clips_per_sec, 3),
         "unit": "clips/s",
         "vs_baseline": None,  # reference publishes no train throughput
+        "train_tflop_per_clip": round(train_flops / 1e12, 4),
+        "mfu": round(clips_per_sec * train_flops / (peak_tf * 1e12), 4),
+        "mfu_peak_assumed_tflops": round(peak_tf, 1),
+        "batch_videos": n_videos,
     }
     if int8_backbone:
         line["gated_on"] = "real_weight_validation"

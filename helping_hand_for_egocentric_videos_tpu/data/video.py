@@ -31,6 +31,8 @@ base/base_dataset.py:124-140) lives in the datasets.
 from __future__ import annotations
 
 import os
+import threading
+from collections import OrderedDict
 from typing import Sequence
 
 import numpy as np
@@ -184,11 +186,41 @@ def resize_frames(frames: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
     )
 
 
+# mmap-handle LRU for the npy fast path: each clip read used to pay two
+# np.load header parses (read_clip_chunked probes vlen, read_frames_at
+# re-opens) — ~1 ms/clip of the measured host-stage budget (BENCH_NOTES
+# r5 breakdown). Entries are validated by (mtime_ns, size); handles are
+# read-only mmaps, safe to share across loader threads.
+_NPY_CACHE_MAX = 64
+_NPY_CACHE: "OrderedDict[str, tuple[tuple[int, int], np.ndarray]]" = OrderedDict()
+_NPY_CACHE_LOCK = threading.Lock()
+
+
+def _load_npy_cached(cand: str):
+    try:
+        st = os.stat(cand)
+    except OSError:
+        return None
+    key_stat = (st.st_mtime_ns, st.st_size)
+    with _NPY_CACHE_LOCK:
+        ent = _NPY_CACHE.get(cand)
+        if ent is not None and ent[0] == key_stat:
+            _NPY_CACHE.move_to_end(cand)
+            return ent[1]
+    m = np.load(cand, mmap_mode="r")
+    with _NPY_CACHE_LOCK:
+        _NPY_CACHE[cand] = (key_stat, m)
+        _NPY_CACHE.move_to_end(cand)
+        while len(_NPY_CACHE) > _NPY_CACHE_MAX:
+            _NPY_CACHE.popitem(last=False)
+    return m
+
+
 def _maybe_npy(path: str):
     """Pre-extracted clip tensors: <path>.npy next to / instead of the mp4."""
     for cand in (path, path + ".npy", os.path.splitext(path)[0] + ".npy"):
         if cand.endswith(".npy") and os.path.exists(cand):
-            return np.load(cand, mmap_mode="r")
+            return _load_npy_cached(cand)
     return None
 
 

@@ -130,14 +130,22 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.multi_transform({"train": opt, "freeze": optax.set_to_zero()}, labels)
 
 
-def backbone_features(backbone_params, lavila_cfg, video, tokens, *, dtype=jnp.bfloat16):
+def backbone_features(
+    backbone_params, lavila_cfg, video, tokens, *, dtype=jnp.bfloat16, use_remat=True
+):
     """Frozen-backbone forward: returns the decoder inputs.
 
     video: (Bv, T, H, W, C) normalised; tokens: (Bt, 77).
     Returns (video_grid (Bv, T, N, C), text_fmap (Bt, 77, Wt)).
+
+    ``use_remat`` cannot cause recompute here: this call sits OUTSIDE the
+    loss grad closure and its outputs are stop_gradient'ed, so the
+    checkpoint wrapper is differentiation-inert — the compiled train
+    program has identical FLOPs either way (pinned by
+    tests/test_train_step.py::test_frozen_backbone_remat_is_free).
     """
     out = lavila.lavila_forward(
-        backbone_params, lavila_cfg, video, tokens, use_remat=True, dtype=dtype
+        backbone_params, lavila_cfg, video, tokens, use_remat=use_remat, dtype=dtype
     )
     bv, t = video.shape[:2]
     n = lavila_cfg.visual.patches_per_frame

@@ -112,3 +112,30 @@ def test_dryrun_subprocess_timeout_raises_structured_error(monkeypatch):
 
     with pytest.raises(RuntimeError, match="exceeded"):
         g.dryrun_multichip(8)
+
+
+def test_analytic_flops_counter_pins_known_figures():
+    """utils/flops.py counters vs the established BENCH_NOTES.md roofline
+    figure (~3.3 TFLOP flagship 16f eval fwd) and bench.py's constant."""
+    from helping_hand_for_egocentric_videos_tpu.models import DecoderConfig
+    from helping_hand_for_egocentric_videos_tpu.models.lavila import (
+        timesformer_large_config,
+    )
+    from helping_hand_for_egocentric_videos_tpu.utils.flops import (
+        eval_fwd_flops_per_clip,
+        train_step_flops_per_clip,
+        vision_fwd_flops,
+    )
+
+    cfg16 = timesformer_large_config(num_frames=16)
+    dec16 = DecoderConfig(num_frames=16, pred_traj=False)
+    ev = eval_fwd_flops_per_clip(cfg16, dec16)
+    assert abs(ev - 3.458e12) / 3.458e12 < 0.01  # bench.py FLOPS_PER_CLIP_16F
+    assert abs(ev - 3.3e12) / 3.3e12 < 0.06  # BENCH_NOTES hand figure, <6% off
+
+    cfg4 = timesformer_large_config(num_frames=4)
+    tr = train_step_flops_per_clip(cfg4, DecoderConfig(num_frames=4))
+    # frozen fwd dominates; fwd-only backbone => train/clip < eval-16f/4 * 1.3
+    assert 0.8e12 < tr < 1.1e12
+    # 16f vision is ~4x the 4f vision plus the quadratic temporal-attn term
+    assert vision_fwd_flops(cfg16.visual) > 3.9 * vision_fwd_flops(cfg4.visual)

@@ -187,3 +187,47 @@ def test_dryrun_multichip_8dev():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_frozen_backbone_remat_is_free():
+    """The frozen tower's remat wrapper must not add recompute: the
+    feature extraction sits outside the grad closure with stop_gradient'ed
+    outputs (train/step.py backbone_features), so the compiled train
+    program's FLOPs are identical with use_remat on and off (VERDICT r4
+    item 2's 'verify remat isn't recomputing the frozen forward')."""
+    import optax
+
+    from helping_hand_for_egocentric_videos_tpu.train.step import (
+        backbone_features,
+        pretrain_loss_and_metrics,
+    )
+
+    lavila_cfg, dec_cfg, tcfg, backbone, decoder, batch, noun_dict = tiny_setup()
+
+    def flops(use_remat: bool) -> float:
+        def program(decoder, backbone, batch, noun_dict):
+            grid, text_fmap = backbone_features(
+                backbone,
+                lavila_cfg,
+                batch["video"],
+                batch["tokens"],
+                dtype=jnp.float32,
+                use_remat=use_remat,
+            )
+
+            def loss_fn(p):
+                return pretrain_loss_and_metrics(
+                    p, dec_cfg, tcfg, grid, text_fmap, batch["tokens"],
+                    batch["noun_vec"], batch["verb_vec"], batch["boxes"],
+                    batch["nouns"], noun_dict,
+                )
+
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(decoder)
+            return loss, optax.global_norm(grads)
+
+        compiled = jax.jit(program).lower(decoder, backbone, batch, noun_dict).compile()
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        return float(cost["flops"])
+
+    assert flops(True) == flops(False)
