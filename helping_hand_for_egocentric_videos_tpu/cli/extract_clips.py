@@ -50,13 +50,29 @@ def extract_one(path: str, out_path: str, fps: float, height: int, width: int) -
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--src", required=True, help="directory tree of video files")
+    p.add_argument("--src", help="directory tree of video files")
     p.add_argument("--fps", type=float, default=30.0)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=342)
     p.add_argument("--ext", default=".mp4")
     p.add_argument("--overwrite", action="store_true")
+    p.add_argument(
+        "--install-hh-ffmpeg",
+        metavar="DIR",
+        dest="install_hh_ffmpeg",
+        help="build the genuine-libav CLI decoder (native/hh_ffmpeg.c) and "
+        "install it as `ffmpeg` in DIR for the popen pipe, then exit "
+        "(needs libav* dev headers; docs/DATA.md)",
+    )
     args = p.parse_args(argv)
+
+    if args.install_hh_ffmpeg:
+        from ..data.native import install_hh_ffmpeg
+
+        print(install_hh_ffmpeg(args.install_hh_ffmpeg))
+        return
+    if not args.src:
+        p.error("--src is required (unless --install-hh-ffmpeg)")
 
     total = done = 0
     for root, _, files in os.walk(args.src):

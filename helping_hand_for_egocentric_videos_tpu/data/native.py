@@ -14,11 +14,22 @@ from functools import lru_cache
 
 import numpy as np
 
-__all__ = ["NativeUnavailable", "get_lib", "decode_jpeg", "decode_jpeg_batch", "decode_clip_ffmpeg", "has_ffmpeg"]
+__all__ = [
+    "NativeUnavailable",
+    "get_lib",
+    "decode_jpeg",
+    "decode_jpeg_batch",
+    "decode_clip_ffmpeg",
+    "has_ffmpeg",
+    "build_hh_ffmpeg",
+    "install_hh_ffmpeg",
+]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "_native", "libhh_dataio.so")
 _SRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "native", "hh_dataio.cpp")
+_FFTOOL_PATH = os.path.join(_HERE, "_native", "hh_ffmpeg")
+_FF_SRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "native", "hh_ffmpeg.c")
 
 
 class NativeUnavailable(RuntimeError):
@@ -117,6 +128,58 @@ def has_ffmpeg() -> bool:
         return bool(get_lib().hh_has_ffmpeg())
     except NativeUnavailable:
         return False
+
+
+def _av_flags() -> tuple[list[str], list[str]]:
+    """(cflags, libs) for the libav* link, via pkg-config when present."""
+    pkgs = ["libavformat", "libavcodec", "libswscale", "libavutil"]
+    try:
+        cf = subprocess.run(
+            ["pkg-config", "--cflags"] + pkgs, capture_output=True, text=True, check=True
+        ).stdout.split()
+        ld = subprocess.run(
+            ["pkg-config", "--libs"] + pkgs, capture_output=True, text=True, check=True
+        ).stdout.split()
+        return cf, ld
+    except Exception:
+        return [], ["-lavformat", "-lavcodec", "-lswscale", "-lavutil"]
+
+
+def build_hh_ffmpeg(force: bool = False) -> str:
+    """Build the genuine-libav CLI decoder (native/hh_ffmpeg.c) and return
+    its path. Needs a C toolchain plus the libavformat/libavcodec/
+    libswscale dev headers; raises ``NativeUnavailable`` otherwise."""
+    if os.path.exists(_FFTOOL_PATH) and not force:
+        return _FFTOOL_PATH
+    if not os.path.exists(_FF_SRC):
+        raise NativeUnavailable(f"native source missing: {_FF_SRC}")
+    os.makedirs(os.path.dirname(_FFTOOL_PATH), exist_ok=True)
+    cflags, libs = _av_flags()
+    cmd = (
+        [os.environ.get("CC", "cc"), "-O3", "-std=c11"]
+        + cflags
+        + ["-o", _FFTOOL_PATH, _FF_SRC]
+        + libs
+    )
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except Exception as e:  # toolchain or libav dev headers absent
+        raise NativeUnavailable(f"failed to build hh_ffmpeg: {e}") from e
+    return _FFTOOL_PATH
+
+
+def install_hh_ffmpeg(target_dir: str) -> str:
+    """Build hh_ffmpeg and install it as an executable ``ffmpeg`` wrapper
+    in ``target_dir``; putting that dir on PATH routes the C++ popen pipe
+    (hh_decode_clip_ffmpeg) through the genuine-libav decoder with zero
+    Python in the decode path (docs/DATA.md deploy checklist)."""
+    tool = build_hh_ffmpeg()
+    os.makedirs(target_dir, exist_ok=True)
+    path = os.path.join(target_dir, "ffmpeg")
+    with open(path, "w") as f:
+        f.write(f'#!/bin/sh\nexec "{tool}" "$@"\n')
+    os.chmod(path, os.stat(path).st_mode | 0o111)
+    return path
 
 
 def decode_clip_ffmpeg(

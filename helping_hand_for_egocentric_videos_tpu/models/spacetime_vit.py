@@ -195,13 +195,23 @@ def _var_attention_pallas(p, x_cls, x_p, t: int, n: int, heads: int, mode: str, 
     return linear(p["proj"], cls_out), patch_proj
 
 
-def _kernel_friendly(n: int, d: int, heads: int, t: int) -> bool:
+def _kernel_friendly(n: int, d: int, heads: int, t: int, mode: str = "space") -> bool:
     """Shapes the Mosaic kernels compile well for: full-lane tiles,
-    64-multiple head dims, an unrolled head loop that fits VMEM, and a
-    bounded temporal row count (R = 8t at the minimum patch block — past
-    128 frames the masked logits would outgrow VMEM; see BENCH_NOTES.md
-    'landmines')."""
+    64-multiple head dims, and an unrolled head loop that fits VMEM.
+
+    The temporal kernel's tile is R = t * nb rows; its scoped-VMEM
+    footprint is linear in R and hits the 16 MiB compiler limit just past
+    R = 256 (MEASURED on v5e: t=32/R=256 compiles, t=64/R=512 is rejected
+    with a 33.65 MiB scoped allocation — BENCH_NOTES r5 long-clip sweep).
+    Past that bound temporal attention falls back to the XLA path while
+    spatial stays in Pallas: the spatial tile is (N, 3D) per frame,
+    T-independent."""
     dh = d // heads
+    if mode == "time":
+        from ..ops.divided_attention import _temporal_block
+
+        if t * _temporal_block(t, n) > 256:
+            return False
     return dh % 64 == 0 and n % 8 == 0 and n >= 32 and heads <= 16 and t <= 128
 
 
@@ -219,7 +229,7 @@ def _var_attention_split(p, x_cls, x_p, t, n, heads, mode, backend, fused_den=Fa
             fused_den=fused_den, coalesce_out=coalesce_out,
         )
     if isinstance(x_p, tuple) or (
-        _use_pallas(backend) and _kernel_friendly(n, x_p.shape[-1], heads, t)
+        _use_pallas(backend) and _kernel_friendly(n, x_p.shape[-1], heads, t, mode)
     ):
         # a tuple x_p is the ln_int8 pre-quantized stream — the caller
         # (_block) only produces it when this pallas path is taken
@@ -304,28 +314,35 @@ def _block(p, x, cfg: SpaceTimeConfig, t: int, n: int):
     # matmuls consume int8 codes directly and the bf16 intermediates
     # never round-trip HBM (ops/act_quant.py; ~10% of the int8 eval iter)
     interp = be == "pallas_interpret"
-    pallas_ok = interp or (_use_pallas(be) and _kernel_friendly(n, d, heads=cfg.heads, t=t))
+    # per-mode: long clips (t > 32) drop ONLY the temporal kernel to the
+    # XLA path (its R = t*nb tile outgrows scoped VMEM); spatial tiles
+    # are T-independent and stay in Pallas (_kernel_friendly, r5)
+    ok = {
+        m: interp or (_use_pallas(be) and _kernel_friendly(n, d, heads=cfg.heads, t=t, mode=m))
+        for m in ("time", "space")
+    }
     lanes_ok = d % 128 == 0
-    q_attn = pallas_ok and lanes_ok and pure_int8(p["timeattn"]["qkv"]) and pure_int8(p["attn"]["qkv"])
+    int8_qkv = pure_int8(p["timeattn"]["qkv"]) and pure_int8(p["attn"]["qkv"])
+    q_attn = {m: ok[m] and lanes_ok and int8_qkv for m in ("time", "space")}
     q_mlp = (
-        pallas_ok
+        ok["space"]  # the act-quant kernels tile per token: no t bound
         and lanes_ok
         and cfg.use_quick_gelu
         and pure_int8(p["mlp_fc1"])
         and pure_int8(p["mlp_fc2"])
     )
-    if q_attn or q_mlp:
+    if any(q_attn.values()) or q_mlp:
         from ..ops.act_quant import layer_norm_int8, quick_gelu_int8
 
-    def norm_patch(np_, z):
-        if q_attn:
+    def norm_patch(np_, z, mode):
+        if q_attn[mode]:
             return layer_norm_int8(np_, z, eps, interpret=interp)
         return layer_norm(np_, z, eps)
 
     tc, tp = _var_attention_split(
         p["timeattn"],
         layer_norm(p["norm3"], x_cls, eps),
-        norm_patch(p["norm3"], x_p),
+        norm_patch(p["norm3"], x_p, "time"),
         t, n, cfg.heads, "time", be, fused_den=cfg.fused_den_attention,
         coalesce_out=_coalesce_for(cfg.coalesced_epilogue, "time"),
     )
@@ -334,7 +351,7 @@ def _block(p, x, cfg: SpaceTimeConfig, t: int, n: int):
     sc, sp = _var_attention_split(
         p["attn"],
         layer_norm(p["norm1"], tr_cls, eps),
-        norm_patch(p["norm1"], tr_p),
+        norm_patch(p["norm1"], tr_p, "space"),
         t, n, cfg.heads, "space", be, fused_den=cfg.fused_den_attention,
         coalesce_out=_coalesce_for(cfg.coalesced_epilogue, "space"),
     )

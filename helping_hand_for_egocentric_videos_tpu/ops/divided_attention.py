@@ -253,7 +253,14 @@ def _temporal_block(t: int, n: int) -> int:
     nb must divide n and be a multiple of 8 (Pallas block constraint,
     callers guarantee n % 8 == 0 via ``_kernel_friendly``); long clips
     (256 // t < 8) fall to the minimum nb = 8 tile so R stays bounded at
-    8*t rows rather than degenerating to the whole patch axis."""
+    8*t rows rather than degenerating to the whole patch axis.
+
+    Even at nb = 8 the kernel's scoped-VMEM footprint is linear in R and
+    the compiler rejects it past R ~ 256 (measured: t=64/R=512 needs a
+    33.65 MiB scoped allocation vs the 16 MiB limit, BENCH_NOTES r5) —
+    spacetime_vit._kernel_friendly therefore routes mode='time' to the
+    XLA path whenever t * nb > 256; this helper only sizes tiles for the
+    shapes that gate admits."""
     nb = min(max(256 // t, 8), n)
     nb -= nb % 8
     while nb > 8 and n % nb:

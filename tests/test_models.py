@@ -499,6 +499,26 @@ def test_temporal_block_sizes_bounded():
         assert t * nb <= 1024
 
 
+def test_kernel_friendly_time_mode_vmem_gate():
+    """mode='time' is gated at R = t*nb <= 256: the temporal kernel's
+    scoped-VMEM footprint is linear in R and the compiler rejects it past
+    ~256 rows (measured on v5e: t=64/R=512 OOMs scoped VMEM at 33.65 MiB
+    vs the 16 MiB limit — BENCH_NOTES r5 long-clip sweep). Spatial tiles
+    are per-frame and T-independent, so mode='space' keeps its old bound."""
+    from helping_hand_for_egocentric_videos_tpu.models.spacetime_vit import (
+        _kernel_friendly,
+    )
+
+    # flagship shapes: N=256 patches, D=1024, 16 heads
+    for t in (4, 16, 32):  # R = 256 at each of these -> pallas
+        assert _kernel_friendly(256, 1024, 16, t, "time")
+    for t in (48, 64, 128):  # R = 384/512/1024 -> XLA fallback
+        assert not _kernel_friendly(256, 1024, 16, t, "time")
+        assert _kernel_friendly(256, 1024, 16, t, "space")  # unaffected
+    # default mode is spatial (back-compat with existing callers)
+    assert _kernel_friendly(256, 1024, 16, 64)
+
+
 @pytest.mark.parametrize(
     "t,n_side,width,heads",
     [
