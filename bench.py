@@ -56,7 +56,10 @@ BASELINE_SOURCE = (
 # counter so eval and train lines are consistent
 FLOPS_PER_CLIP_16F = 3.458e12  # flagship eval fwd @16f/224^2 + caption + decoder
 V5E_PEAK_TFLOPS = {"bf16": 197.0, "int8": 394.0}
-BATCH = 16
+# Per-mode eval batch, set by the r5 on-chip batch sweep (tools/eval_sweep.py,
+# BENCH_NOTES "Eval batch sweep"): bf16 rises mildly to bs64 (+1.9%); int8
+# peaks at bs16 and regresses ~9% at bs>=32 (quant-stat kernels tile worse).
+EVAL_BATCH = {"bf16": 64, "int8": 16}
 FRAMES = 16
 STEPS = 5
 # HH_BENCH_INT8=0 drops the int8 headline line (bf16 becomes the headline)
@@ -347,8 +350,9 @@ def main(quantize: bool):
         video_embed = dec_mod.obj_proj(decoder, out.hs[-1])[:, -1]
         return video_embed, out.pred_boxes
 
+    batch = EVAL_BATCH["int8" if quantize else "bf16"]
     video = jnp.asarray(
-        np.random.default_rng(0).normal(size=(BATCH, FRAMES, 224, 224, 3)).astype(np.float32)
+        np.random.default_rng(0).normal(size=(batch, FRAMES, 224, 224, 3)).astype(np.float32)
     )
 
     # warmup/compile; sync via a device->host copy (block_until_ready is
@@ -361,12 +365,13 @@ def main(quantize: bool):
     np.asarray(out[0])
     dt = time.perf_counter() - t0
 
-    clips_per_sec = BATCH * STEPS / dt
+    clips_per_sec = batch * STEPS / dt
     peak_tf = V5E_PEAK_TFLOPS["int8" if quantize else "bf16"]
     line = {
         "metric": "clips_per_sec_per_chip_16f_eval" + ("_int8" if quantize else ""),
         "value": round(clips_per_sec, 3),
         "unit": "clips/s",
+        "batch": batch,
         "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC, 3),
         # the denominator is an ESTIMATE (30 clips/s fp16 A100) — the
         # reference publishes no throughput number; see BASELINE.md
