@@ -199,18 +199,27 @@ def _kernel_friendly(n: int, d: int, heads: int, t: int, mode: str = "space") ->
     """Shapes the Mosaic kernels compile well for: full-lane tiles,
     64-multiple head dims, and an unrolled head loop that fits VMEM.
 
-    The temporal kernel's tile is R = t * nb rows; its scoped-VMEM
-    footprint is linear in R and hits the 16 MiB compiler limit just past
-    R = 256 (MEASURED on v5e: t=32/R=256 compiles, t=64/R=512 is rejected
-    with a 33.65 MiB scoped allocation — BENCH_NOTES r5 long-clip sweep).
-    Past that bound temporal attention falls back to the XLA path while
-    spatial stays in Pallas: the spatial tile is (N, 3D) per frame,
-    T-independent."""
+    Long temporal tiles (R = t*nb > 256 rows, i.e. t > 32 at the minimum
+    nb = 8) overrun the DEFAULT 16 MiB scoped-VMEM limit — the per-head
+    (R+1, R) f32 logits/exp stack buffers are not reused across the
+    unrolled head loop (MEASURED on v5e: t=64/R=512 asks 33.65 MiB; a
+    q-chunked rewrite still asked 31.03 MiB — BENCH_NOTES r5). The kernel
+    raises its own ``vmem_limit_bytes`` toward the 128 MiB physical VMEM
+    for those tiles (ops/divided_attention._scoped_vmem_ask), which
+    admits mode='time' through R = 512 (t = 64 at nb = 8) on flagship
+    heads; asks past ``_VMEM_LIMIT`` (t = 128 would need ~134 MiB) still
+    route ONLY the temporal attention to the XLA path, while spatial
+    tiles are per-frame and T-independent."""
     dh = d // heads
     if mode == "time":
-        from ..ops.divided_attention import _temporal_block
+        from ..ops.divided_attention import (
+            _VMEM_LIMIT,
+            _scoped_vmem_ask,
+            _temporal_block,
+        )
 
-        if t * _temporal_block(t, n) > 256:
+        r = t * _temporal_block(t, n)
+        if _scoped_vmem_ask(r, heads) + 16 * 1024 * 1024 > _VMEM_LIMIT:
             return False
     return dh % 64 == 0 and n % 8 == 0 and n >= 32 and heads <= 16 and t <= 128
 
@@ -314,9 +323,10 @@ def _block(p, x, cfg: SpaceTimeConfig, t: int, n: int):
     # matmuls consume int8 codes directly and the bf16 intermediates
     # never round-trip HBM (ops/act_quant.py; ~10% of the int8 eval iter)
     interp = be == "pallas_interpret"
-    # per-mode: long clips (t > 32) drop ONLY the temporal kernel to the
-    # XLA path (its R = t*nb tile outgrows scoped VMEM); spatial tiles
-    # are T-independent and stay in Pallas (_kernel_friendly, r5)
+    # per-mode: long clips stay in Pallas through t = 64 (the kernel
+    # raises its own vmem_limit_bytes for R > 256 tiles); only asks past
+    # _VMEM_LIMIT (t = 128) drop the temporal kernel to the XLA path,
+    # spatial tiles are T-independent and always stay (_kernel_friendly)
     ok = {
         m: interp or (_use_pallas(be) and _kernel_friendly(n, d, heads=cfg.heads, t=t, mode=m))
         for m in ("time", "space")

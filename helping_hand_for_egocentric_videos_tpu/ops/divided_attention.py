@@ -60,6 +60,27 @@ __all__ = ["divided_patch_attention", "merge_cls_partials"]
 _PREC = jax.lax.Precision.DEFAULT
 
 
+def _scoped_vmem_ask(r: int, heads: int) -> int:
+    """Estimated Mosaic scoped-VMEM stack ask of one rows-kernel program,
+    bytes. The dominant terms are the (R+1, R) f32 logits and exp buffers
+    per head, and the Mosaic stack allocator does NOT reuse them across
+    the unrolled head loop (MEASURED on v5e: the t=64/R=512 single-tile
+    kernel asks 33.65 MiB ~= 16 heads x 2 x 513*512*4 B; a q-chunked
+    rewrite that bounded the LIVE buffer to (128, R) still asked 31.03 MiB
+    — per-iteration buffers accumulate either way, BENCH_NOTES r5). Long
+    tiles therefore keep the proven single-tile body and raise the
+    per-kernel ``vmem_limit_bytes`` instead (see divided_patch_attention);
+    this estimate gates how far that stretch is safe."""
+    return heads * 2 * (r + 1) * r * 4
+
+
+# v5e/v5p VMEM is 128 MiB; leave headroom for the double-buffered input/
+# output blocks (~10 MiB at the flagship T=64 temporal tile) and the
+# compiler's own scratch. Tiles whose estimated ask exceeds this fall
+# back to the XLA path (spacetime_vit._kernel_friendly, mode='time').
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
 def _rows_kernel(
     qkv_ref, cls_ref, o_ref, m_ref, s_ref, co_ref, *rest,
     heads, dh, scale, nb, t, quant_out=False, fused_den=False,
@@ -255,12 +276,11 @@ def _temporal_block(t: int, n: int) -> int:
     (256 // t < 8) fall to the minimum nb = 8 tile so R stays bounded at
     8*t rows rather than degenerating to the whole patch axis.
 
-    Even at nb = 8 the kernel's scoped-VMEM footprint is linear in R and
-    the compiler rejects it past R ~ 256 (measured: t=64/R=512 needs a
-    33.65 MiB scoped allocation vs the 16 MiB limit, BENCH_NOTES r5) —
-    spacetime_vit._kernel_friendly therefore routes mode='time' to the
-    XLA path whenever t * nb > 256; this helper only sizes tiles for the
-    shapes that gate admits."""
+    Even at nb = 8 the kernel's scoped-VMEM ask is quadratic-in-R per
+    unrolled head (see ``_scoped_vmem_ask``) and overruns the default
+    16 MiB limit past R ~ 256 — long tiles raise the per-kernel
+    ``vmem_limit_bytes`` up to ``_VMEM_LIMIT`` (divided_patch_attention);
+    asks beyond that fall back to XLA via ``_kernel_friendly``."""
     nb = min(max(256 // t, 8), n)
     nb -= nb % 8
     while nb > 8 and n % nb:
@@ -313,6 +333,19 @@ def divided_patch_attention(
     if cls_q is None:
         cls_q = jnp.zeros_like(cls_k)
 
+    # long tiles (r > 256: T > 32 temporal tubes, or very large patch
+    # grids) overrun the default 16 MiB scoped-VMEM limit (the per-head
+    # logits/exp stack buffers are not reused across the unrolled head
+    # loop, _scoped_vmem_ask) — raise the per-kernel limit toward the
+    # 128 MiB physical VMEM instead of falling back to XLA
+    r_tile = n if mode == "space" else t * _temporal_block(t, n)
+    compiler_params = None
+    if r_tile > 256:
+        ask = _scoped_vmem_ask(r_tile, heads) + 16 * 1024 * 1024
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=min(ask, _VMEM_LIMIT)
+        )
+
     if mode == "space":
         r = n
         kernel = functools.partial(
@@ -355,6 +388,7 @@ def divided_patch_attention(
         out_shape.append(jax.ShapeDtypeStruct((b, t, n, 1), jnp.float32))
         if not coalesce_out:  # the coalesced path accumulates in VREGs
             scratch_shapes = [pltpu.VMEM((r, d), jnp.float32)]
+    kw = {} if compiler_params is None else {"compiler_params": compiler_params}
     res = pl.pallas_call(
         kernel,
         grid=grid,
@@ -363,6 +397,7 @@ def divided_patch_attention(
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        **kw,
     )(qkv, cls_row)
     if quant_out:
         out, m, s, co, sq = res

@@ -499,24 +499,36 @@ def test_temporal_block_sizes_bounded():
         assert t * nb <= 1024
 
 
-def test_kernel_friendly_time_mode_vmem_gate():
-    """mode='time' is gated at R = t*nb <= 256: the temporal kernel's
-    scoped-VMEM footprint is linear in R and the compiler rejects it past
-    ~256 rows (measured on v5e: t=64/R=512 OOMs scoped VMEM at 33.65 MiB
-    vs the 16 MiB limit — BENCH_NOTES r5 long-clip sweep). Spatial tiles
-    are per-frame and T-independent, so mode='space' keeps its old bound."""
+def test_kernel_friendly_time_mode_long_clips():
+    """Long temporal tiles (R = t*nb > 256) stay in Pallas through t = 64:
+    the kernel raises its per-call vmem_limit_bytes for R > 256 tiles
+    (the per-head logits/exp stack buffers are not reused across the
+    unrolled head loop, so the default 16 MiB limit rejects t=64/R=512 at
+    a 33.65 MiB ask — BENCH_NOTES r5). Asks past _VMEM_LIMIT (t=128 on
+    flagship heads needs ~134 MiB > physical VMEM) fall back to XLA for
+    mode='time' only; spatial tiles are per-frame and T-independent."""
     from helping_hand_for_egocentric_videos_tpu.models.spacetime_vit import (
         _kernel_friendly,
     )
+    from helping_hand_for_egocentric_videos_tpu.ops.divided_attention import (
+        _VMEM_LIMIT,
+        _scoped_vmem_ask,
+    )
 
     # flagship shapes: N=256 patches, D=1024, 16 heads
-    for t in (4, 16, 32):  # R = 256 at each of these -> pallas
+    for t in (4, 16, 32, 48, 64):
         assert _kernel_friendly(256, 1024, 16, t, "time")
-    for t in (48, 64, 128):  # R = 384/512/1024 -> XLA fallback
-        assert not _kernel_friendly(256, 1024, 16, t, "time")
-        assert _kernel_friendly(256, 1024, 16, t, "space")  # unaffected
+        assert _kernel_friendly(256, 1024, 16, t, "space")
+    assert not _kernel_friendly(256, 1024, 16, 128, "time")  # ~134 MiB ask
+    assert _kernel_friendly(256, 1024, 16, 128, "space")  # unaffected
     # default mode is spatial (back-compat with existing callers)
     assert _kernel_friendly(256, 1024, 16, 64)
+    # the ask estimate reproduces the measured 33.65 MiB rejection at
+    # R=512 and stays under the raised per-kernel limit
+    ask = _scoped_vmem_ask(512, 16)
+    assert 32 * 2**20 < ask < 36 * 2**20
+    assert ask + 16 * 2**20 <= _VMEM_LIMIT
+    assert _scoped_vmem_ask(1024, 16) + 16 * 2**20 > _VMEM_LIMIT
 
 
 @pytest.mark.parametrize(
@@ -527,6 +539,10 @@ def test_kernel_friendly_time_mode_vmem_gate():
         (4, 6, 256, 4),   # n=36 -> nb search hits n%nb constraints
         (5, 8, 192, 3),   # heads=3, dh=64, odd t
         (48, 4, 128, 2),  # long clip: nb falls to the minimum 8-patch tile
+        # R = t*nb = 288 > 256: the raised-vmem_limit_bytes long-tile
+        # path (same kernel body; exercises the CompilerParams plumbing
+        # end-to-end in interpret mode at the smallest long-tile shape)
+        (36, 3, 128, 2),
     ],
 )
 def test_rows_kernel_interpret_shape_fuzz(rng, t, n_side, width, heads):
@@ -820,3 +836,40 @@ def test_rows_kernel_coalesced_epilogue_interpret(rng):
         )
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
         np.testing.assert_array_equal(np.asarray(a_cls), np.asarray(c_cls))
+
+
+def test_rows_kernel_long_tile_quant_out_interpret(rng):
+    """quant_out through a long temporal tile (R = t*nb > 256, the
+    raised-vmem_limit_bytes path): the quantized output must follow the
+    int8_linear scale rule exactly, and the CLS streaming partials must
+    be untouched by quant_out."""
+    from helping_hand_for_egocentric_videos_tpu.ops.divided_attention import (
+        _temporal_block,
+        divided_patch_attention,
+    )
+
+    b, t, n, d, heads = 1, 36, 8, 64, 1
+    assert t * _temporal_block(t, n) > 256  # long-tile path
+    qkv = jnp.asarray(rng.normal(size=(b, t, n, 3 * d)).astype(np.float32) * 0.3)
+    ck = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.3)
+    cv = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.3)
+    cq = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32) * 0.3)
+
+    ref, (m0, s0, co0) = divided_patch_attention(
+        qkv, ck, cv, cq, mode="time", heads=heads, interpret=True
+    )
+    (out_q, s_x), (m1, s1, co1) = divided_patch_attention(
+        qkv, ck, cv, cq, mode="time", heads=heads, interpret=True, quant_out=True
+    )
+    assert out_q.dtype == jnp.int8 and s_x.shape == (b, t, n, 1)
+    want_s = np.maximum(
+        np.max(np.abs(np.asarray(ref)), axis=-1, keepdims=True) / 127.0, 1e-8
+    )
+    np.testing.assert_allclose(np.asarray(s_x), want_s, rtol=1e-5)
+    deq = np.asarray(out_q, np.float32) * np.asarray(s_x)
+    np.testing.assert_allclose(
+        deq, np.asarray(ref), atol=float(np.max(want_s)) * 0.51 + 1e-6
+    )
+    # CLS streaming partials are untouched by quant_out
+    for x, y in ((m1, m0), (s1, s0), (co1, co0)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
