@@ -76,9 +76,28 @@ def _scoped_vmem_ask(r: int, heads: int) -> int:
 
 # v5e/v5p VMEM is 128 MiB; leave headroom for the double-buffered input/
 # output blocks (~10 MiB at the flagship T=64 temporal tile) and the
-# compiler's own scratch. Tiles whose estimated ask exceeds this fall
-# back to the XLA path (spacetime_vit._kernel_friendly, mode='time').
+# compiler's own scratch. Single-tile temporal asks past this switch to
+# the per-head grid variant (needs_head_grid); only shapes whose
+# PER-HEAD ask also exceeds it fall back to the XLA path
+# (spacetime_vit._kernel_friendly, mode='time').
 _VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _headgrid_vmem_ask(r: int) -> int:
+    """Estimated scoped-VMEM ask of one HEAD-GRID program, bytes: one
+    head's (R+1, R) f32 logits + exp buffers, the f32 periodic mask and
+    its two int32 iotas, plus slack for Mosaic's own temporaries — no
+    unrolled head loop, so nothing accumulates."""
+    return 6 * (r + 1) * r * 4
+
+
+def needs_head_grid(t: int, n: int, heads: int) -> bool:
+    """True when the temporal single-tile kernel's scoped-VMEM ask
+    (quadratic in R per unrolled head, ``_scoped_vmem_ask``) exceeds
+    ``_VMEM_LIMIT`` — T > 64 at flagship heads — and the per-head grid
+    variant must carry the tile instead."""
+    r = t * _temporal_block(t, n)
+    return _scoped_vmem_ask(r, heads) + 16 * 1024 * 1024 > _VMEM_LIMIT
 
 
 def _rows_kernel(
@@ -290,10 +309,145 @@ def _temporal_block(t: int, n: int) -> int:
     return max(nb, 1)
 
 
+def _rows_kernel_hg(
+    qkv_ref, cls_ref, o_ref, m_ref, s_ref, co_ref, *, dh, scale, nb, t,
+):
+    """Head-grid temporal tile: ONE head's attention over a (T, Nb)
+    patch-tube tile laid out head-major by the caller — rows are
+    (R, 3*dh) packed [q|k|v] for this head only, so the q/k/v column
+    slices are static and the live f32 buffers are a single head's
+    (R+1, R) pair. Same math as _rows_kernel (periodic same-patch mask,
+    CLS row riding as row R, streaming-softmax partials); the head loop
+    moves into the Pallas grid, so the scoped-VMEM ask stops being
+    quadratic-in-R *per head* and long clips (T = 128 at flagship
+    heads, ~134 MiB single-tile ask) fit comfortably."""
+    tile = qkv_ref[0, 0]  # (t, nb, 3*dh)
+    r = t * nb
+    rows = tile.reshape(r, 3 * dh)
+    crow = cls_ref[0, 0]  # (1, 3*dh) this head's packed [cq|ck|cv]
+    ra = r + 1
+    prec = (
+        jax.lax.Precision.HIGHEST if rows.dtype == jnp.float32 else _PREC
+    )
+
+    qa = jnp.concatenate([rows[:, :dh], crow[:, :dh]], axis=0)  # (RA, dh)
+    k = rows[:, dh : 2 * dh]
+    v = rows[:, 2 * dh :]
+    ck = crow[:, dh : 2 * dh]
+    cv = crow[:, 2 * dh :]
+
+    logits = scale * jax.lax.dot_general(
+        qa, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (RA, R)
+    if nb > 1:
+        ri = jax.lax.broadcasted_iota(jnp.int32, (ra, r), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (ra, r), 1)
+        logits = logits + jnp.where(
+            ((ri % nb) == (ci % nb)) | (ri == r), 0.0, -1e30
+        )
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (ra, 1), 0)
+    lc = scale * jnp.sum(
+        (qa * ck).astype(jnp.float32), axis=-1, keepdims=True
+    ) + jnp.where(row_i == r, -1e30, 0.0)  # CLS-query row excludes self
+
+    m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), lc)
+    e_c = jnp.exp(lc - m)
+    e_p = jnp.exp(logits - m)
+    den = jnp.sum(e_p, axis=-1, keepdims=True) + e_c
+    raw = jax.lax.dot_general(
+        e_p.astype(rows.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )  # (RA, dh)
+    out = (raw[:r] + e_c[:r] * cv.astype(jnp.float32)) / den[:r]
+    o_ref[0, 0] = out.reshape(t, nb, dh).astype(o_ref.dtype)
+    m_ref[0, 0] = m[r:]
+    s_ref[0, 0] = den[r:]
+    co_ref[0, 0] = raw[r:]
+
+
+def _time_attention_headgrid(qkv, cls_row, *, heads, interpret):
+    """Temporal divided attention with the head loop in the Pallas grid.
+
+    Costs one extra XLA pass over qkv (head-major rearrange in, output
+    rearrange back) that the single-tile kernel avoids — acceptable for
+    the long-clip shapes this path exists for, and far cheaper than the
+    XLA full-attention fallback it replaces (1.7x at T = 64,
+    BENCH_NOTES r5). Returns the same (out, (m, s, co)) contract as the
+    single-tile path."""
+    b, t, n, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // heads
+    scale = dh**-0.5
+    nb = _temporal_block(t, n)
+    g = n // nb
+    r = t * nb
+
+    # head-major packed layout: (B, H, T, N, [q|k|v] * dh)
+    qh = (
+        qkv.reshape(b, t, n, 3, heads, dh)
+        .transpose(0, 4, 1, 2, 3, 5)
+        .reshape(b, heads, t, n, 3 * dh)
+    )
+    ch = (
+        cls_row.reshape(b, 3, heads, dh)
+        .transpose(0, 2, 1, 3)
+        .reshape(b, heads, 1, 3 * dh)
+    )
+
+    kernel = functools.partial(_rows_kernel_hg, dh=dh, scale=scale, nb=nb, t=t)
+    part = lambda w: pl.BlockSpec(  # noqa: E731
+        (1, 1, 1, w), lambda i, h, j: (i, j, h, 0), memory_space=pltpu.VMEM
+    )
+    kw = {}
+    if r > 256:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                _headgrid_vmem_ask(r) + 16 * 1024 * 1024, _VMEM_LIMIT
+            )
+        )
+    out, m, s, co = pl.pallas_call(
+        kernel,
+        grid=(b, heads, g),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, t, nb, 3 * dh),
+                lambda i, h, j: (i, h, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, 3 * dh),
+                lambda i, h, j: (i, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, t, nb, dh),
+                lambda i, h, j: (i, h, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            part(1),
+            part(1),
+            part(dh),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, heads, t, n, dh), qkv.dtype),
+            jax.ShapeDtypeStruct((b, g, heads, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, g, heads, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, g, heads, dh), jnp.float32),
+        ],
+        interpret=interpret,
+        **kw,
+    )(qh, ch)
+    return out.transpose(0, 2, 3, 1, 4).reshape(b, t, n, d), (m, s, co)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "mode", "heads", "interpret", "quant_out", "fused_den", "coalesce_out",
+        "head_grid",
     ),
 )
 def divided_patch_attention(
@@ -308,6 +462,7 @@ def divided_patch_attention(
     quant_out: bool = False,
     fused_den: bool = False,
     coalesce_out: bool = False,
+    head_grid: bool | None = None,
 ):
     """Patch-token divided attention on packed qkv (+ CLS partials).
 
